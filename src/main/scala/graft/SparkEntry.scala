@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Transcripts
+import graft.algos.PageRank
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /**
+   * Flagship: the minimum end-to-end slice (SURVEY.md §7.3) — synthesize a
+   * deterministic transcript table (the BASELINE.json input_hint shape),
+   * extract reply+tool edges, run GraphMat-semantics PageRank to convergence,
+   * return per-vertex scores sorted by id. Driver smoke-checks rows>0.
+   */
+  def entry(spark: SparkSession): DataFrame = {
+    val transcripts = Transcripts.synthesize(spark, conversations = 500)
+    val graph = Transcripts.toGraph(transcripts)
+    PageRank.run(graph).state
+      .select(col("id"), col("degree"), round(col("pagerank"), 6).as("pagerank"))
+      .orderBy("id")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
+  )
 }

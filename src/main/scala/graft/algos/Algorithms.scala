@@ -1,0 +1,249 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.LinkGraph
+import graft.engine._
+
+/**
+ * The reference's bundled vertex programs (SURVEY.md §2.7), re-expressed on
+ * the Superstep engine, plus the two north-rule additions (connected
+ * components, community label propagation). All are pure Column algebra —
+ * the whole superstep stays in whole-stage codegen.
+ */
+object Degree {
+  /**
+   * The Degree program (`src/PageRank.cpp:53-79`): IN_EDGES + msg=1 + ⊕=sum
+   * ⇒ every vertex counts its OUT-edges (GraphMat's IN_EDGES gathers at src
+   * from dst — see Direction scaladoc). Algebraically that is one grouped
+   * count, so we declare it as such and let Catalyst do partial+final agg;
+   * `DegreeSpec.viaEngine` (tests) proves the superstep path agrees.
+   */
+  def outDegrees(graph: LinkGraph): DataFrame =
+    graph.edges.groupBy(col("src").as("id")).agg(count("*").as("degree"))
+
+  def inDegrees(graph: LinkGraph): DataFrame =
+    graph.edges.groupBy(col("dst").as("id")).agg(count("*").as("degree"))
+
+  /** The literal 1-superstep vertex program, for engine-equivalence tests. */
+  def viaEngine(graph: LinkGraph): DataFrame = {
+    val init = graph.vertices
+      .select(col("id"), lit(true).as("active"), lit(0L).as("degree"))
+    val spec = VertexProgramSpec(
+      direction = Direction.In,
+      activity = Activity.AllVertices,
+      send = fr => fr.select(col("id"), lit(1L).as("msg")),
+      reduce = Reduce.byAggs(sum("msg").as("acc")),
+      apply = (df, _) => df.select(
+        col("id"), col("active"),
+        coalesce(col("acc"), col("degree")).as("degree"),
+        col("acc").isNotNull.as("_changed")),
+      maxIterations = 1)
+    Superstep.run(graph, init, spec).state.select("id", "degree")
+  }
+}
+
+object PageRank {
+
+  /**
+   * GraphMat PageRank (`src/PageRank.cpp:81-161`), exact semantics:
+   * state init pr=0.3 (PR ctor, `:39-42`); msg = pr/outdeg (0 if outdeg=0);
+   * ⊕ = sum; apply pr' = α + (1−α)·Σ with α=0.3, applied only to vertices
+   * that received ≥1 message; ALL_VERTICES; stop when no vertex moved by
+   * more than `tol`=1e-5 (`PR::operator!=`, `:43-45`). Double accumulation
+   * here vs float there — absorbed by the 1e-6 allclose target (SURVEY §7.4#1).
+   *
+   * Returns (id, degree, pagerank).
+   */
+  def run(graph: LinkGraph, alpha: Double = 0.3, tol: Double = 1e-5,
+          maxIterations: Int = -1,
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val deg = Degree.outDegrees(graph)
+    val init = graph.vertices
+      .join(deg, Seq("id"), "left_outer")
+      .select(
+        col("id"), lit(true).as("active"),
+        lit(0.3).as("pagerank"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+    Superstep.run(graph, init, spec(alpha, tol, maxIterations), cp)
+  }
+
+  def spec(alpha: Double, tol: Double, maxIterations: Int): VertexProgramSpec =
+    VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.AllVertices,
+      send = fr => fr.select(
+        col("id"),
+        when(col("degree") === 0, 0.0)
+          .otherwise(col("pagerank") / col("degree")).as("msg")),
+      reduce = Reduce.byAggs(sum("msg").as("acc")),
+      apply = (df, _) => {
+        val newPr = when(col("acc").isNull, col("pagerank"))
+          .otherwise(lit(alpha) + lit(1.0 - alpha) * col("acc"))
+        df.select(
+          col("id"), lit(true).as("active"),
+          newPr.as("pagerank"), col("degree"),
+          (abs(newPr - col("pagerank")) > tol).as("_changed"))
+      },
+      maxIterations = maxIterations)
+}
+
+/**
+ * Connected components via HashMin label propagation — a GraphMat v1 app the
+ * north rule requires; one-superstep-pattern variant of SSSP (⊗=identity,
+ * ⊕=min over an undirected view). Converges in O(diameter) supersteps; each
+ * vertex ends with the minimum vertex id of its (weakly) connected component.
+ */
+object ConnectedComponents {
+  def run(graph: LinkGraph, cp: Option[CheckpointConfig] = None): RunResult = {
+    val und = graph.undirected
+    val init = und.vertices.select(
+      col("id"), lit(true).as("active"), col("id").as("component"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out, // undirected view holds both directions
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"), col("component").as("msg")),
+      reduce = Reduce.byAggs(min("msg").as("acc")),
+      apply = (df, _) => {
+        val newC = least(col("component"), col("acc"))
+        val changed = col("acc").isNotNull && col("acc") < col("component")
+        df.select(
+          col("id"), changed.as("active"),
+          when(changed, newC).otherwise(col("component")).as("component"),
+          changed.as("_changed"))
+      })
+    Superstep.run(und, init, spec, cp)
+  }
+}
+
+/**
+ * Community label propagation (north-rule addition): synchronous LP — each
+ * superstep every vertex adopts the most frequent label among its neighbors
+ * (undirected view), deterministic tie-break on the smaller label; keeps its
+ * label when it has no neighbors. The ⊕ (mode-of-labels) is not a single
+ * commutative fold, so `reduce` is a two-level aggregation: count per
+ * (vertex, label), then max_by((count, -label)) — both hash aggregates with
+ * map-side partials, no custom UDAF needed.
+ *
+ * LP can oscillate on bipartite-ish structures, so callers pass a fixed
+ * iteration budget (the usual practice); a true fixpoint also stops early.
+ */
+object LabelPropagation {
+  def run(graph: LinkGraph, iterations: Int,
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val und = graph.undirected
+    val init = und.vertices.select(
+      col("id"), lit(true).as("active"), col("id").as("label"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.AllVertices,
+      send = fr => fr.select(col("id"), col("label").as("msg")),
+      reduce = df => df
+        .groupBy(col("_recv"), col("msg")).agg(count("*").as("cnt"))
+        .groupBy("_recv")
+        .agg(max_by(col("msg"), struct(col("cnt"), (-col("msg")).as("neg"))).as("acc")),
+      apply = (df, _) => {
+        val newL = coalesce(col("acc"), col("label"))
+        df.select(
+          col("id"), lit(true).as("active"), newL.as("label"),
+          (newL =!= col("label")).as("_changed"))
+      },
+      maxIterations = iterations)
+    Superstep.run(und, init, spec, cp)
+  }
+}
+
+/**
+ * BFS (`src/BFS.cpp:40-156`): depth + parent from a source. OUT_EDGES,
+ * ACTIVE_ONLY; msg = sender id; apply sets depth = superstep index on first
+ * touch. The reference's ⊕ is "arbitrary pick" (`BFS.cpp:75-77`, thread-order
+ * dependent); we pick the MINIMUM sender id for determinism — a documented
+ * deviation that never changes depths, only parents (SURVEY §7.4#2).
+ * Unreached vertices keep depth = -1, parent = -1.
+ */
+object Bfs {
+  def run(graph: LinkGraph, source: Long,
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val init = graph.vertices.select(
+      col("id"),
+      (col("id") === source).as("active"),
+      when(col("id") === source, 0L).otherwise(-1L).as("depth"),
+      when(col("id") === source, source).otherwise(-1L).as("parent"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"), col("id").as("msg")),
+      reduce = Reduce.byAggs(min("msg").as("acc")),
+      apply = (df, iter) => {
+        val first = col("acc").isNotNull && col("depth") === -1L
+        df.select(
+          col("id"), first.as("active"),
+          when(first, lit(iter + 1).cast("long")).otherwise(col("depth")).as("depth"),
+          when(first, col("acc")).otherwise(col("parent")).as("parent"),
+          first.as("_changed"))
+      })
+    Superstep.run(graph, init, spec, cp)
+  }
+}
+
+/**
+ * SSSP, Bellman-Ford flavor (`src/SSSP.cpp:44-142`): msg = dist, ⊗ = msg +
+ * edge weight, ⊕ = min, apply = min into state; OUT_EDGES, ACTIVE_ONLY.
+ * Unreachable vertices keep dist = +∞ (the reference's MAX sentinel).
+ */
+object Sssp {
+  def run(graph: LinkGraph, source: Long,
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val inf = Double.PositiveInfinity
+    val init = graph.vertices.select(
+      col("id"),
+      (col("id") === source).as("active"),
+      when(col("id") === source, 0.0).otherwise(inf).as("dist"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"), col("dist").as("msg")),
+      gather = df => df.withColumn("msg", col("msg") + col("weight")),
+      reduce = Reduce.byAggs(min("msg").as("acc")),
+      apply = (df, _) => {
+        val better = col("acc").isNotNull && col("acc") < col("dist")
+        df.select(
+          col("id"), better.as("active"),
+          when(better, col("acc")).otherwise(col("dist")).as("dist"),
+          better.as("_changed"))
+      })
+    Superstep.run(graph, init, spec, cp)
+  }
+}
+
+/**
+ * Triangle counting (`src/TriangleCounting.cpp:39-216`). The reference runs
+ * two supersteps whose ⊕ materializes per-vertex neighbor LISTS — unbounded
+ * state that melts on hub vertices. Same semantics, Spark-first: triangles in
+ * the DAG-canonicalized edge set (src<dst, the input shape the reference
+ * expects) are 3-cliques (a<b<c) found by a self-join on the shared endpoint
+ * + a semi-join on the closing edge. Per-vertex attribution matches the
+ * reference: tri[v] = |{(u,w): w→u, w→v, u→v}| = # triangles whose LARGEST
+ * vertex is v (each triangle attributed exactly once).
+ *
+ * Returns (id, triangles); total = sum (the reference's
+ * `applyReduceAllVertices`, `TriangleCounting.cpp:194-196`).
+ */
+object TriangleCount {
+  def perVertex(graph: LinkGraph): DataFrame = {
+    val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst")
+    val e1 = e.select(col("src").as("w"), col("dst").as("u"))
+    val e2 = e.select(col("src").as("w2"), col("dst").as("v"))
+    val e3 = e.select(col("src").as("u3"), col("dst").as("v3"))
+    val tris = e1
+      .join(e2, e1("w") === e2("w2") && e1("u") < e2("v"))
+      .join(e3, e1("u") === e3("u3") && e2("v") === e3("v3"), "left_semi")
+    val counts = tris.groupBy(col("v").as("id")).agg(count("*").as("triangles"))
+    graph.vertices.join(counts, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  def total(graph: LinkGraph): Long =
+    perVertex(graph).agg(sum("triangles")).head().getLong(0)
+}

@@ -1,0 +1,115 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Edge-list transformations — the reference's relational ops in disguise
+ * (`include/GMDP/utils/edgelist_transformation.h`, `edgelist.h`; SURVEY.md
+ * §2.5). Each is a pure DataFrame→DataFrame function over the canonical edge
+ * schema `(src long, dst long, weight double)`; Catalyst pushes the filters
+ * and prunes columns, and the shuffling ones (`dedup`, `shuffleBySrc`,
+ * `remapDenseIds`) replace the reference's hand-rolled MPI all-to-alls.
+ */
+object EdgeOps {
+
+  /** σ over edges — `filter_edges(pred)` (`edgelist_transformation.h:431-443`). */
+  def filterEdges(edges: DataFrame, pred: Column): DataFrame = edges.filter(pred)
+
+  /** `remove_selfedges` (`edgelist_transformation.h:37-53`). */
+  def removeSelfEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+
+  /** `remove_duplicate_edges` (`edgelist_transformation.h:237-251`): the
+    * reference keeps the *first* value per (src,dst) after an unstable sort —
+    * i.e. an arbitrary one. We keep the MIN weight for determinism
+    * (documented deviation; identical when duplicate edges share a weight). */
+  def dedupEdges(edges: DataFrame): DataFrame =
+    edges.groupBy("src", "dst").agg(min("weight").as("weight"))
+
+  /** `shuffle_edges` (`edgelist_transformation.h:95-235`): redistribute by src. */
+  def shuffleBySrc(edges: DataFrame, numPartitions: Int): DataFrame =
+    edges.repartition(numPartitions, col("src"))
+
+  /** `create_bidirectional_edges` (`edgelist_transformation.h:396-410`). */
+  def bidirectional(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+
+  /** `convert_to_dag` (`edgelist_transformation.h:412-419`): canonicalize to
+    * upper-triangular (src < dst), dropping self-loops and duplicates. */
+  def toDag(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("weight").as("weight"))
+
+  /** `randomize_edge_direction` (`edgelist_transformation.h:387-394`) —
+    * seeded here (the reference uses unseeded rand()). */
+  def randomizeDirection(edges: DataFrame, seed: Long): DataFrame =
+    edges.select(
+      when(rand(seed) < 0.5, col("src")).otherwise(col("dst")).as("s2"),
+      col("src"), col("dst"), col("weight"))
+    .select(
+      col("s2").as("src"),
+      when(col("s2") === col("src"), col("dst")).otherwise(col("src")).as("dst"),
+      col("weight"))
+
+  /** `random_edge_weights(r)` (`edgelist_transformation.h:421-429`): weight ← ceil(U[0,r)). */
+  def randomWeights(edges: DataFrame, maxWeight: Int, seed: Long): DataFrame =
+    edges.withColumn("weight", ceil(rand(seed) * maxWeight).cast("double"))
+
+  /** `randomize_edgelist_square` (`edgelist.h:336-366`): random (seeded)
+    * global vertex-id permutation applied to both endpoints. */
+  def permuteIds(edges: DataFrame, seed: Long): DataFrame = {
+    val ids = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val perm = ids
+      .withColumn("ord", row_number().over(Window.orderBy("id")).cast("long"))
+      .withColumn("shuf", row_number().over(Window.orderBy(xxhash64(col("id"), lit(seed)), col("id"))).cast("long"))
+    val mapping = perm.select(col("id"), col("shuf").as("newId"))
+    edges
+      .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newId", "nsrc"), "src")
+      .join(mapping.withColumnRenamed("id", "dst").withColumnRenamed("newId", "ndst"), "dst")
+      .select(col("nsrc").as("src"), col("ndst").as("dst"), col("weight"))
+  }
+
+  /** `remove_empty_columns` (`edgelist.h:368-409`): compact dst ids to a dense
+    * 1..k range; returns (remapped edges, mapping old→new). */
+  def compactDstIds(edges: DataFrame): (DataFrame, DataFrame) = {
+    val mapping = edges.select(col("dst").as("old"))
+      .distinct()
+      .withColumn("new", row_number().over(Window.orderBy("old")).cast("long"))
+    val remapped = edges.join(mapping, edges("dst") === mapping("old"))
+      .select(col("src"), col("new").as("dst"), col("weight"))
+    (remapped, mapping)
+  }
+
+  /** `filter_edges_by_row(start, end)` (`edgelist.h:411-428`): row-block
+    * extraction with re-based src. */
+  def filterByRow(edges: DataFrame, start: Long, end: Long): DataFrame =
+    edges.filter(col("src") >= start && col("src") < end)
+      .withColumn("src", col("src") - start)
+
+  /** `get_dimensions` (`edgelist.h:430-443`). */
+  def dimensions(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(max("src"), max("dst")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Remap arbitrary vertex ids to a dense 1..n range (both endpoints), the
+    * analog of the reference's native-id remap (`Graph.h:111-150`) minus the
+    * cache-blocking permutation. Returns (edges, mapping(id,newId)). */
+  def remapDenseIds(edges: DataFrame): (DataFrame, DataFrame) = {
+    val ids = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val mapping = ids.withColumn("newId", row_number().over(Window.orderBy("id")).cast("long"))
+    val out = edges
+      .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newId", "nsrc"), "src")
+      .join(mapping.withColumnRenamed("id", "dst").withColumnRenamed("newId", "ndst"), "dst")
+      .select(col("nsrc").as("src"), col("ndst").as("dst"), col("weight"))
+    (out, mapping)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * A directed edge. Mirrors the reference's `edge_t<T>` (GraphMat
+ * `include/GMDP/utils/edgelist.h:38-50`) with 64-bit vertex ids (the reference
+ * uses 1-based int32; we keep stable Longs — cf. SURVEY.md §1.4) and a Double
+ * payload (the reference templates the payload; every bundled algorithm uses a
+ * numeric weight).
+ */
+final case class Edge(src: Long, dst: Long, weight: Double)
+
+/**
+ * Distributed link graph: the Spark-native analog of GraphMat's
+ * `Graph<V,E>` (`include/Graph.h:58-107`), which materializes the adjacency
+ * matrix `A` and its transpose `AT` so both push (OUT_EDGES) and pull
+ * (IN_EDGES) are a forward SpMV.
+ *
+ * Here the graph is ONE immutable edge DataFrame `(src, dst, weight)`, with
+ * two lazily-cached *clustered* views:
+ *   - `edgesBySrc`: hash-partitioned by `src`, sorted within partitions by
+ *     (src, dst) — the CSR-style layout for message flow along out-edges
+ *     (sender joins on src);
+ *   - `edgesByDst`: hash-partitioned by `dst`, sorted by (dst, src) — the
+ *     CSC-style layout for flow along in-edges.
+ *
+ * Pre-partitioning means the per-superstep join against the frontier never
+ * re-shuffles the (large) edge side: Catalyst's EnsureRequirements sees the
+ * existing HashPartitioning and only shuffles the (small) frontier. This is
+ * the Spark analog of GraphMat's one-time `ingestEdgelist` all-to-all
+ * (`SpMat.h:97-278`) + per-tile DCSC build.
+ *
+ * Vertex state lives OUTSIDE this holder (immutable per-superstep DataFrames),
+ * unlike the reference's in-place `vertexproperty` vector.
+ */
+final class LinkGraph private (
+    val edges: DataFrame,
+    val numPartitions: Int) extends Serializable {
+
+  import LinkGraph._
+
+  private[this] var bySrc: Option[DataFrame] = None
+  private[this] var byDst: Option[DataFrame] = None
+
+  /** Edges clustered for joins on `src` (messages along OUT edges). */
+  def edgesBySrc: DataFrame = synchronized {
+    bySrc.getOrElse {
+      val df = edges
+        .repartition(numPartitions, col("src"))
+        .sortWithinPartitions("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      bySrc = Some(df)
+      df
+    }
+  }
+
+  /** Edges clustered for joins on `dst` (messages along IN edges) — the `AT` analog. */
+  def edgesByDst: DataFrame = synchronized {
+    byDst.getOrElse {
+      val df = edges
+        .repartition(numPartitions, col("dst"))
+        .sortWithinPartitions("dst", "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      byDst = Some(df)
+      df
+    }
+  }
+
+  /** Distinct vertex ids appearing as src or dst (GraphMat derives the vertex
+    * set from matrix dims; with arbitrary Long ids we take the union). */
+  lazy val vertices: DataFrame = {
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .repartition(numPartitions, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  lazy val numEdges: Long = edges.count()
+  lazy val numVertices: Long = vertices.count()
+
+  /** Undirected view: each distinct unordered pair once in each direction.
+    * (Dedup first, so a graph holding both (u,v) and (v,u) does not
+    * double-count neighbors.) */
+  def undirected: LinkGraph = {
+    val canon = edges
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+    val both = canon.union(canon.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    new LinkGraph(both, numPartitions)
+  }
+
+  def unpersistAll(): Unit = synchronized {
+    bySrc.foreach(_.unpersist()); bySrc = None
+    byDst.foreach(_.unpersist()); byDst = None
+  }
+}
+
+object LinkGraph {
+
+  /** Build from any DataFrame with (src, dst[, weight]) columns. */
+  def apply(edges: DataFrame, numPartitions: Int = 0): LinkGraph = {
+    val spark = edges.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val withW =
+      if (edges.columns.contains("weight"))
+        edges.select(col("src").cast("long"), col("dst").cast("long"), col("weight").cast("double"))
+      else
+        edges.select(col("src").cast("long"), col("dst").cast("long"), lit(1.0).as("weight"))
+    new LinkGraph(withW, n)
+  }
+
+  /** Build from an in-memory edge list (tests / the bundled reference graphs). */
+  def fromSeq(spark: SparkSession, es: Seq[Edge], numPartitions: Int = 4): LinkGraph = {
+    import spark.implicits._
+    apply(es.toDF(), numPartitions)
+  }
+}

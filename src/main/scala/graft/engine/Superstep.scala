@@ -1,0 +1,241 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.LinkGraph
+
+/**
+ * Message direction — the reference's `edges_t` order flag
+ * (`include/GraphProgram.h:33`, dispatch `GraphMatRuntime.h:160-176`).
+ * GraphMat's tiles store row=src, col=dst (`DCSCTile.h:241-275`), so:
+ *  - OUT_EDGES → SpMTSpV over `AT` (`SPMV.h:80-95`): message travels along
+ *    the sender's out-edges; receiver = dst.
+ *  - IN_EDGES → SpMSpV over `A` (`SPMV.h:63-78`): receiver = src, gathering
+ *    from its out-neighbors (so the bundled Degree program computes
+ *    OUT-degree — `src/PageRank.cpp:53-79`).
+ *  - ALL_EDGES → both reduced into one result (`GraphMatRuntime.h:168-175`).
+ */
+sealed trait Direction
+object Direction {
+  case object Out extends Direction
+  case object In extends Direction
+  case object All extends Direction
+}
+
+/** `ALL_VERTICES` vs `ACTIVE_ONLY` (`include/GraphProgram.h:36`). */
+sealed trait Activity
+object Activity {
+  case object AllVertices extends Activity
+  case object ActiveOnly extends Activity
+}
+
+/**
+ * A vertex program over column expressions — the Spark-native re-expression
+ * of `GraphProgram<T,U,V,E>` (`include/GraphProgram.h:38-101`). Everything is
+ * declarative DataFrame algebra so Catalyst/Tungsten keep the whole superstep
+ * in codegen; no Scala UDFs in the hot path.
+ *
+ * State contract: `(id: long, active: boolean, <program columns>)`.
+ *
+ *  - `send`: frontier (state rows to send from) → messages `(id, <msg cols>)`
+ *    where id = SENDER. The reference's `send_message` bool gate is a
+ *    `.filter`. Msg col names must avoid `id/src/dst/weight/_send/_recv`.
+ *  - `gather`: per-edge transform of the routed frame
+ *    `(_send, _recv, weight, <msg cols>[, v_<state> when needsRecvState])` —
+ *    the ⊗ (`process_message`). Default identity.
+ *  - `reduce`: routed frame → `(_recv, <acc cols>)`, normally
+ *    `Reduce.byAggs(...)` — the ⊕ (`reduce_function`); must be
+ *    commutative+associative (Spark's partial+final agg = the reference's
+ *    per-thread partials + cross-rank `union_received`).
+ *  - `apply`: (state cols ++ acc cols (null when nothing received), iteration)
+ *    → new state incl. `active` and a boolean `_changed`. The reference calls
+ *    `apply` ONLY for vertices that received a message and derives `changed`
+ *    from `operator!=` (`GraphMatRuntime.h:195-225`) — replicate by keying
+ *    changes off acc nullability.
+ */
+final case class VertexProgramSpec(
+    direction: Direction,
+    activity: Activity,
+    send: DataFrame => DataFrame,
+    reduce: DataFrame => DataFrame,
+    apply: (DataFrame, Int) => DataFrame,
+    gather: DataFrame => DataFrame = identity,
+    needsRecvState: Boolean = false,
+    maxIterations: Int = -1) // -1 = UNTIL_CONVERGENCE (`GraphMatRuntime.h:51`)
+
+object Reduce {
+  /** Standard ⊕ as aggregate expressions over the gathered frame, grouped by receiver. */
+  def byAggs(aggs: Column*): DataFrame => DataFrame =
+    df => df.groupBy("_recv").agg(aggs.head, aggs.tail: _*)
+}
+
+final case class IterationMetrics(iteration: Int, changed: Long, millis: Long)
+
+final case class RunResult(
+    state: DataFrame, iterations: Int, converged: Boolean,
+    metrics: Seq[IterationMetrics])
+
+/**
+ * Durable checkpoint/resume (north rule): every `every` supersteps the full
+ * vertex state (the frontier is its `active` column) is snapshotted to
+ * `dir/runId/iter=N/state` as parquet, with per-partition row counts and
+ * per-iteration metrics appended to `dir/runId/metrics.jsonl` and a
+ * `latest.json` pointer enabling mid-algorithm resume. In production these
+ * are Iceberg table snapshots; parquet-with-manifest is the sandbox stand-in
+ * (no Iceberg jars in this image).
+ */
+final case class CheckpointConfig(dir: String, runId: String, every: Int = 8)
+
+object Superstep {
+
+  def run(graph: LinkGraph, init: DataFrame, spec: VertexProgramSpec,
+          cp: Option[CheckpointConfig] = None): RunResult =
+    loop(graph, init, spec, cp, startIteration = 0, priorMetrics = Nil)
+
+  /** Resume a checkpointed run mid-algorithm from its latest snapshot. */
+  def resume(graph: LinkGraph, spec: VertexProgramSpec, cp: CheckpointConfig): RunResult = {
+    val spark = graph.edges.sparkSession
+    val latestPath = Paths.get(cp.dir, cp.runId, "latest.json")
+    val txt = new String(Files.readAllBytes(latestPath), StandardCharsets.UTF_8)
+    val iter = """"iteration"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+    val state = spark.read.parquet(s"${cp.dir}/${cp.runId}/iter=$iter/state")
+    // carry forward the pre-crash iteration history so metrics.jsonl stays complete
+    val mPath = Paths.get(cp.dir, cp.runId, "metrics.jsonl")
+    val lineRe = """\{"iteration":(\d+),"changed":(\d+),"millis":(\d+)\}""".r
+    val prior =
+      if (Files.exists(mPath)) {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(mPath).asScala.toSeq.collect {
+          case lineRe(i, c, m) if i.toInt <= iter =>
+            IterationMetrics(i.toInt, c.toLong, m.toLong)
+        }
+      } else Nil
+    loop(graph, state, spec, Some(cp), startIteration = iter, priorMetrics = prior)
+  }
+
+  private def loop(graph: LinkGraph, init: DataFrame, spec: VertexProgramSpec,
+                   cp: Option[CheckpointConfig], startIteration: Int,
+                   priorMetrics: Seq[IterationMetrics]): RunResult = {
+    val n = graph.numPartitions
+    val stateCols = init.columns.toSeq
+    require(stateCols.contains("id") && stateCols.contains("active"),
+      s"state needs id+active, got $stateCols")
+
+    // `cached` is always the exact DataFrame persist() was called on (the
+    // only handle unpersist() frees); `state` may be a cheap projection of it.
+    var cached = init.repartition(n, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    var state = cached
+
+    val metrics = ArrayBuffer[IterationMetrics](priorMetrics: _*)
+    var iter = startIteration
+    var converged = false
+
+    while (!converged && (spec.maxIterations < 0 || iter - startIteration < spec.maxIterations)) {
+      val t0 = System.nanoTime()
+
+      val frontier = spec.activity match {
+        case Activity.AllVertices => state
+        case Activity.ActiveOnly  => state.filter(col("active"))
+      }
+      val msgs = spec.send(frontier)
+      val routed = route(graph, msgs, spec.direction)
+      val withRecvState =
+        if (spec.needsRecvState) {
+          val vp = state.select(
+            (col("id").as("_recv") +: stateCols.filterNot(c => c == "id" || c == "active")
+              .map(c => col(c).as(s"v_$c"))): _*)
+          routed.join(vp, "_recv")
+        } else routed
+      val acc = spec.reduce(spec.gather(withRecvState))
+
+      val accCols = acc.columns.filterNot(_ == "_recv").toSeq
+      val s = state.alias("s")
+      val a = acc.alias("a")
+      val joined = s.join(a, col("s.id") === col("a._recv"), "left_outer")
+        .select(stateCols.map(c => col(s"s.$c")) ++ accCols.map(c => col(s"a.$c")): _*)
+
+      val applied = spec.apply(joined, iter)
+      require(applied.columns.contains("_changed"), "apply must emit _changed")
+
+      // Eager localCheckpoint EVERY superstep: `apply` joins the state with
+      // an aggregate derived from the same state, so without truncation the
+      // logical plan doubles per iteration (exponential analysis time). This
+      // is the reference's scratch-vector reuse analog (SURVEY.md §4) — one
+      // materialized, lineage-free state per superstep.
+      val persisted = applied.localCheckpoint(true)
+      val changed = persisted.filter(col("_changed")).count()
+
+      cached.unpersist()
+      cached = persisted
+      state = persisted.drop("_changed")
+
+      iter += 1
+      converged = changed == 0
+      metrics += IterationMetrics(iter, changed, (System.nanoTime() - t0) / 1000000)
+
+      cp match {
+        case Some(c) if iter % c.every == 0 || converged =>
+          val reloaded = snapshot(c, iter, state, metrics.toSeq)
+          cached.unpersist()
+          cached = reloaded
+          state = reloaded
+        case _ => // durable snapshots only at the configured cadence
+      }
+    }
+    RunResult(state, iter - startIteration, converged, metrics.toSeq)
+  }
+
+  /** Join messages through the edge table toward the receiver — the SpMV
+    * routing step. Edges are pre-clustered on the join key (LinkGraph), so
+    * only the (small) frontier shuffles; the ⊕ aggregation after `reduce`
+    * is the only full-width shuffle per superstep. */
+  private def route(graph: LinkGraph, msgs: DataFrame, dir: Direction): DataFrame = {
+    def along(edges: DataFrame, senderKey: String, recvKey: String) =
+      msgs.withColumnRenamed("id", "_send")
+        .join(edges, col("_send") === col(senderKey))
+        .withColumn("_recv", col(recvKey))
+        .drop("src", "dst")
+    dir match {
+      case Direction.Out => along(graph.edgesBySrc, "src", "dst")
+      case Direction.In  => along(graph.edgesByDst, "dst", "src")
+      case Direction.All =>
+        along(graph.edgesBySrc, "src", "dst")
+          .unionByName(along(graph.edgesByDst, "dst", "src"))
+    }
+  }
+
+  private def snapshot(c: CheckpointConfig, iteration: Int, state: DataFrame,
+                       metrics: Seq[IterationMetrics]): DataFrame = {
+    val base = s"${c.dir}/${c.runId}/iter=$iteration"
+    state.write.mode("overwrite").parquet(s"$base/state")
+    val reloaded = state.sparkSession.read.parquet(s"$base/state")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    reloaded.count()
+    // per-partition lineage record + iteration metrics (north rule)
+    val partRows = reloaded.groupBy(spark_partition_id().as("p")).count()
+      .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    val dir = Paths.get(c.dir, c.runId)
+    Files.createDirectories(dir)
+    val mLines = metrics.map(m =>
+      s"""{"iteration":${m.iteration},"changed":${m.changed},"millis":${m.millis}}""")
+    Files.write(dir.resolve("metrics.jsonl"),
+      (mLines.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.write(dir.resolve(s"iter=$iteration/partitions.jsonl"),
+      (partRows.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.write(dir.resolve("latest.json"),
+      s"""{"iteration":$iteration}""".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    reloaded
+  }
+}
