@@ -24,17 +24,11 @@ object SparkEntry {
   }
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity")).as("sum_qty"))
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.QueryCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
-  )
+  def oracleSql: Map[String, String] =
+    graft.queries.QueryCatalog.oracleSql
 }

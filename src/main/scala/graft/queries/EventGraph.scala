@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.LinkGraph
+
+/**
+ * Deterministic link-graph derivations over the driver's `events` table —
+ * the oracle-checkable stand-in for the transcript front end (same shape:
+ * an actor stream with a stable ordering key). Every derivation here has an
+ * exact SQL twin in QueryCatalog.oracleSql, so DuckDB can replay it.
+ *
+ * events(event_id, ts, user_id, event_type, value, props):
+ *  - rn: row_number over (user_id ORDER BY ts, event_id) — the stable order
+ *  - chain edges: rn → rn+1 within a user (the transcript reply edge)
+ *  - skip edges:  rn → rn+2 within a user (second-order context link)
+ *  - type edges:  consecutive same-type events within a user (the tool link)
+ *  - bucket edges: chain edges that stay within ⌊(rn-1)/10⌋ buckets — bounded-
+ *    diameter components for convergence-gated algorithms
+ */
+object EventGraph {
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+  private val byUserType = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+
+  /** chain ∪ skip ∪ type, deduplicated — the rich graph for PageRank/degree/LP/triangles. */
+  def richEdges(ev: DataFrame): DataFrame = {
+    val base = ev.select(
+      col("event_id"),
+      lead("event_id", 1).over(byUser).as("nxt1"),
+      lead("event_id", 2).over(byUser).as("nxt2"),
+      lead("event_id", 1).over(byUserType).as("nxtT"))
+    val chain = base.filter(col("nxt1").isNotNull).select(col("event_id").as("src"), col("nxt1").as("dst"))
+    val skip  = base.filter(col("nxt2").isNotNull).select(col("event_id").as("src"), col("nxt2").as("dst"))
+    val typed = base.filter(col("nxtT").isNotNull).select(col("event_id").as("src"), col("nxtT").as("dst"))
+    chain.union(skip).union(typed).distinct().withColumn("weight", lit(1.0))
+  }
+
+  /** Chain edges confined to 10-row buckets; weight = 1 + |value(dst)|. */
+  def bucketEdges(ev: DataFrame): DataFrame =
+    ev.select(
+        col("event_id"),
+        row_number().over(byUser).as("rn"),
+        lead("event_id", 1).over(byUser).as("nxt"),
+        lead("value", 1).over(byUser).as("nxtVal"))
+      .filter(col("nxt").isNotNull && (col("rn") % 10 =!= 0))
+      .select(col("event_id").as("src"), col("nxt").as("dst"),
+              (lit(1.0) + abs(col("nxtVal"))).as("weight"))
+
+  def richGraph(spark: SparkSession, dir: String): LinkGraph =
+    LinkGraph(richEdges(events(spark, dir)))
+
+  def bucketGraph(spark: SparkSession, dir: String): LinkGraph =
+    LinkGraph(bucketEdges(events(spark, dir)))
+
+  /** Shared SQL WITH-clause prologue for the DuckDB oracles (kept in one
+    * place so every oracle uses identical derivations). */
+  val sqlBase: String =
+    """WITH base AS (
+      |  SELECT event_id,
+      |         lead(event_id,1) OVER w AS nxt1,
+      |         lead(event_id,2) OVER w AS nxt2,
+      |         lead(event_id,1) OVER wt AS nxtt,
+      |         lead(value,1)    OVER w AS nxtval,
+      |         row_number()     OVER w AS rn,
+      |         user_id, value
+      |  FROM events
+      |  WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |         wt AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |),
+      |rich AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT event_id AS src, nxt1 AS dst FROM base WHERE nxt1 IS NOT NULL
+      |    UNION ALL SELECT event_id, nxt2 FROM base WHERE nxt2 IS NOT NULL
+      |    UNION ALL SELECT event_id, nxtt FROM base WHERE nxtt IS NOT NULL)
+      |),
+      |rv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM rich UNION ALL SELECT dst FROM rich)),
+      |bucket AS (
+      |  SELECT event_id AS src, nxt1 AS dst, 1.0 + abs(nxtval) AS weight,
+      |         user_id, rn, CAST(floor((rn-1)/10) AS BIGINT) AS bkt
+      |  FROM base WHERE nxt1 IS NOT NULL AND rn % 10 <> 0
+      |)
+      |""".stripMargin
+}

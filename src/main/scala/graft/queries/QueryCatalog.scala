@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algos._
+import graft.core.EdgeOps
+
+/**
+ * The driver-gate query surface: every entry has a Spark implementation here
+ * and (where SQL-expressible) an exact DuckDB twin in `oracleSql`, run by the
+ * round driver over the same parquet tables. Graph queries run the REAL
+ * iterative engine; the oracles replay the same semantics as (unrolled or
+ * closed-form) SQL.
+ */
+object QueryCatalog {
+  import EventGraph._
+
+  private def minVertex(g: graft.core.LinkGraph): Long =
+    g.vertices.agg(min("id")).head().getLong(0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational anchors (scan/filter/agg/join/window/top-k) ----
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))),
+    "q_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count("*").as("n_orders"), round(sum("o_totalprice") + 1e-9, 4).as("rev"))
+    }),
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rk")
+    }),
+    "q_topk" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    // ---- edge-list operators (SURVEY.md §2.5) ----
+    "e_dag" -> ((s, dir) =>
+      EdgeOps.toDag(richEdges(events(s, dir))).select("src", "dst")),
+    "e_dims" -> ((s, dir) => {
+      val (m, n) = EdgeOps.dimensions(richEdges(events(s, dir)))
+      s.range(1).select(lit(m).as("m"), lit(n).as("n"))
+    }),
+
+    // ---- graph algorithms over the events-derived link graph ----
+    "g_degree" -> ((s, dir) =>
+      Degree.outDegrees(richGraph(s, dir)).select(col("id"), col("degree"))),
+    "g_pagerank" -> ((s, dir) =>
+      // fixed 10 supersteps (tol<0 disables the stability stop) so the
+      // unrolled SQL twin is exact; convergence semantics are covered by
+      // sbt tests against the reference fold
+      PageRank.run(richGraph(s, dir), alpha = 0.3, tol = -1.0, maxIterations = 10)
+        .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))),
+    "g_cc" -> ((s, dir) =>
+      ConnectedComponents.run(bucketGraph(s, dir))
+        .state.select(col("id"), col("component"))),
+    "g_lp" -> ((s, dir) =>
+      LabelPropagation.run(richGraph(s, dir), iterations = 2)
+        .state.select(col("id"), col("label"))),
+    "g_bfs" -> ((s, dir) => {
+      val g = bucketGraph(s, dir)
+      Bfs.run(g, minVertex(g)).state
+        .filter(col("depth") >= 0).select(col("id"), col("depth"))
+    }),
+    "g_sssp" -> ((s, dir) => {
+      val g = bucketGraph(s, dir)
+      Sssp.run(g, minVertex(g)).state
+        .filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("id"), round(col("dist") + 1e-9, 6).as("dist"))
+    }),
+    "g_triangle" -> ((s, dir) =>
+      TriangleCount.perVertex(richGraph(s, dir)).select(col("id"), col("triangles")))
+  )
+
+  // ---------- DuckDB oracle twins ----------
+
+  private val prUnrolled: String = {
+    val iters = (1 to 10).map { k =>
+      s"""pr$k AS (
+         |  SELECT rv.id, coalesce(0.3 + 0.7*m.s, 0.3) AS pr FROM rv LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr/deg.d) AS s
+         |    FROM rich e JOIN pr${k - 1} p ON p.id = e.src JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) m ON m.id = rv.id)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", deg AS (SELECT src, count(*) AS d FROM rich GROUP BY 1),
+         |pr0 AS (SELECT id, CAST(0.3 AS DOUBLE) AS pr FROM rv),
+         |$iters
+         |SELECT id, round(pr + 1e-9, 6) AS pr FROM pr10""".stripMargin
+  }
+
+  private val lpUnrolled: String = {
+    def round(k: Int) =
+      s"""n$k AS (SELECT u.dst AS id, l.label, count(*) AS c
+         |  FROM und u JOIN l${k - 1} l ON l.id = u.src GROUP BY 1, 2),
+         |p$k AS (SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rk FROM n$k),
+         |l$k AS (SELECT rv.id, coalesce(p.label, rv.id) AS label
+         |  FROM rv LEFT JOIN (SELECT id, label FROM p$k WHERE rk = 1) p ON p.id = rv.id)""".stripMargin
+    EventGraph.sqlBase +
+      s""", canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+         |und AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+         |l0 AS (SELECT id, id AS label FROM rv),
+         |${round(1)},
+         |${round(2)}
+         |SELECT id, label FROM l2""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+    "q_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice) + 1e-9, 4) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rk FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem) t WHERE rk <= 3""".stripMargin,
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "e_dag" -> (EventGraph.sqlBase +
+      "SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst"),
+    "e_dims" -> (EventGraph.sqlBase +
+      "SELECT max(src) AS m, max(dst) AS n FROM rich"),
+    "g_degree" -> (EventGraph.sqlBase +
+      "SELECT src AS id, count(*) AS degree FROM rich GROUP BY 1"),
+    "g_pagerank" -> prUnrolled,
+    "g_cc" -> (EventGraph.sqlBase +
+      """, members AS (
+        |  SELECT src AS id, user_id, bkt FROM bucket
+        |  UNION SELECT dst, user_id, bkt FROM bucket)
+        |SELECT id, min(id) OVER (PARTITION BY user_id, bkt) AS component FROM members""".stripMargin),
+    "g_lp" -> lpUnrolled,
+    "g_bfs" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
+        |s0 AS (SELECT * FROM mrn WHERE id = (SELECT min(id) FROM mrn))
+        |SELECT m.id, m.rn - s0.rn AS depth FROM mrn m, s0
+        |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
+    "g_sssp" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
+        |wv AS (SELECT m.id, m.user_id, m.bkt, m.rn, 1.0 + abs(b.value) AS wgt
+        |       FROM mrn m JOIN base b ON b.event_id = m.id),
+        |cum AS (SELECT *, sum(wgt) OVER (PARTITION BY user_id, bkt ORDER BY rn) AS c FROM wv),
+        |s0 AS (SELECT * FROM cum WHERE id = (SELECT min(id) FROM cum))
+        |SELECT m.id, round(m.c - s0.c + 1e-9, 6) AS dist FROM cum m, s0
+        |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
+    "g_triangle" -> (EventGraph.sqlBase +
+      """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
+        |tri AS (
+        |  SELECT e2.dst AS v, count(*) AS t
+        |  FROM dag e1 JOIN dag e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  WHERE EXISTS (SELECT 1 FROM dag e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+        |  GROUP BY 1)
+        |SELECT rv.id, coalesce(tri.t, 0) AS triangles FROM rv LEFT JOIN tri ON tri.v = rv.id""".stripMargin)
+  )
+}
