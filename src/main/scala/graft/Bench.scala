@@ -1,24 +1,115 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.algos.PageRank
+import graft.core.{LinkGraph, Transcripts}
+import graft.engine.GatherScatter
+
+/**
+ * Round benchmark. Prints ONE JSON line:
+ *   {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},"sf":...,
+ *    "pagerank":{...},"pagerank_sql":{...},"scaling":{...}}
+ *
+ * Headline (BASELINE.json): PageRank superstep throughput in edges/sec on a
+ * transcript-derived edge table, via the CSR gather-scatter path
+ * (engine/GatherScatter.scala), measured at two parallelism levels on the
+ * SAME input as this sandbox's proxy for N vs 4N executors; scaling
+ * efficiency = (T_N / T_4N) / 4. The pair is 1 vs 4 threads: past ~8 threads
+ * a single-JVM local "cluster" measures one memory controller's bandwidth,
+ * not the partitioning design (full thread curve + analysis in BASELINE.md
+ * "Scaling"). The SQL-engine superstep number is reported alongside for the
+ * declarative path.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Gather-scatter PageRank superstep throughput. Timed window = the
+    * superstep loop only (CSR build and JIT warm excluded). */
+  private def fastBench(spark: SparkSession, edgePath: String,
+                        iters: Int, warmIters: Int): (Long, Int, Double, Double) = {
+    val graph = LinkGraph(spark.read.parquet(edgePath))
+    // fixed partition count across scaling legs: identical cache blocks and
+    // shuffle structure, only the thread count varies (as on a real cluster,
+    // where the partitioning wouldn't change with executor count)
+    val g = GatherScatter.build(graph, numPartitions = 32)
+    GatherScatter.pageRank(g, 0.3, warmIters).unpersist(false)
+    val t0 = System.nanoTime()
+    val r = GatherScatter.pageRank(g, 0.3, iters)
+    val sec = (System.nanoTime() - t0) / 1e9
+    r.unpersist(false)
+    (g.numEdges, iters, sec, g.numEdges.toDouble * iters / sec)
+  }
+
+  /** Column-algebra engine PageRank superstep throughput (per-iteration
+    * engine metrics; init/degree excluded). */
+  private def sqlBench(spark: SparkSession, edgePath: String,
+                       iters: Int, warmIters: Int): (Long, Int, Double, Double) = {
+    val graph = LinkGraph(spark.read.parquet(edgePath))
+    val edges = graph.numEdges
+    graph.edgesBySrc.count()
+    PageRank.run(graph, tol = -1.0, maxIterations = warmIters).state.unpersist()
+    val res = PageRank.run(graph, tol = -1.0, maxIterations = iters)
+    val sec = res.metrics.map(_.millis).sum / 1e3
+    res.state.unpersist()
+    graph.unpersistAll()
+    (edges, iters, sec, edges.toDouble * iters / sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1200000").toInt
+
+    // synthesize the deterministic transcript graph ONCE; both scaling legs
+    // then time supersteps, not ETL
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val edgePath = s"$tmp/edges.parquet"
+    val gen = session(cpus)
+    Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(gen, convs)))
+      .write.mode("overwrite").parquet(edgePath)
+    gen.stop()
+
+    val sA = session(1)
+    val (e1, it1, sec1, eps1) = fastBench(sA, edgePath, iters = 5, warmIters = 2)
+    sA.stop()
+    val sB = session(4)
+    val (_, _, sec2, eps2) = fastBench(sB, edgePath, iters = 5, warmIters = 2)
+    sB.stop()
+    val s4N = session(cpus)
+    val (e2, it2, sec3, eps3) = fastBench(s4N, edgePath, iters = 10, warmIters = 2)
+    val (e4, it4, sec4, eps4) = sqlBench(s4N, edgePath, iters = 10, warmIters = 2)
+    val efficiency = (sec1 / sec2) / 4.0
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(s4N, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
+    val pr = f"""{"edges":$e2,"supersteps":$it2,"sec":$sec3%.3f,"edges_per_sec":$eps3%.0f,"cores":$cpus,"path":"gather-scatter"}"""
+    val prSql = f"""{"edges":$e4,"supersteps":$it4,"sec":$sec4%.3f,"edges_per_sec":$eps4%.0f,"cores":$cpus,"path":"column-engine"}"""
+    val scaling = f"""{"cores_small":1,"cores_large":4,"supersteps":$it1,"sec_small":$sec1%.3f,"sec_large":$sec2%.3f,""" +
+      f""""edges_per_sec_small":$eps1%.0f,"edges_per_sec_large":$eps2%.0f,"efficiency":$efficiency%.3f,""" +
+      f""""edges":$e1,"note":"N=1 vs 4N=4 threads, one JVM, fixed 32 partitions; full 1/2/4/8/32-thread curve in BASELINE.md"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":$pr,"pagerank_sql":$prSql,"scaling":$scaling}""")
+    s4N.stop()
   }
 }

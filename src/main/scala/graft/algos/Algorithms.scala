@@ -86,7 +86,10 @@ object PageRank {
           newPr.as("pagerank"), col("degree"),
           (abs(newPr - col("pagerank")) > tol).as("_changed"))
       },
-      maxIterations = maxIterations)
+      maxIterations = maxIterations,
+      // tol<0 = fixed-iteration mode: every vertex always "changes", so skip
+      // the per-superstep convergence count (saves one job per superstep)
+      trackChanges = tol >= 0)
 }
 
 /**

@@ -68,7 +68,10 @@ final case class VertexProgramSpec(
     apply: (DataFrame, Int) => DataFrame,
     gather: DataFrame => DataFrame = identity,
     needsRecvState: Boolean = false,
-    maxIterations: Int = -1) // -1 = UNTIL_CONVERGENCE (`GraphMatRuntime.h:51`)
+    maxIterations: Int = -1, // -1 = UNTIL_CONVERGENCE (`GraphMatRuntime.h:51`)
+    /** false = fixed-iteration run: skip the per-superstep changed-count job
+      * (one action instead of two); convergence is then budget-only. */
+    trackChanges: Boolean = true)
 
 object Reduce {
   /** Standard ⊕ as aggregate expressions over the gathered frame, grouped by receiver. */
@@ -128,6 +131,13 @@ object Superstep {
     require(stateCols.contains("id") && stateCols.contains("active"),
       s"state needs id+active, got $stateCols")
 
+    // AQE re-plans and re-compiles codegen for every superstep's jobs, which
+    // at graph scale costs more than it saves (measured ~2x per-superstep
+    // wall); the loop's plans are static, so pin it off for the duration.
+    val spark = init.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     // `cached` is always the exact DataFrame persist() was called on (the
     // only handle unpersist() frees); `state` may be a cheap projection of it.
     var cached = init.repartition(n, col("id"))
@@ -171,8 +181,14 @@ object Superstep {
       // logical plan doubles per iteration (exponential analysis time). This
       // is the reference's scratch-vector reuse analog (SURVEY.md §4) — one
       // materialized, lineage-free state per superstep.
-      val persisted = applied.localCheckpoint(true)
-      val changed = persisted.filter(col("_changed")).count()
+      // SERIALIZED storage is load-bearing: deserialized checkpoints keep
+      // ~|V| live row objects resident per superstep and G1 old-gen collection
+      // dominates task time (measured 70-90% GC); serialized = one byte
+      // buffer per partition block.
+      val persisted = applied.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      val changed =
+        if (spec.trackChanges) persisted.filter(col("_changed")).count()
+        else -1L
 
       cached.unpersist()
       cached = persisted
@@ -191,6 +207,7 @@ object Superstep {
         case _ => // durable snapshots only at the configured cadence
       }
     }
+    spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     RunResult(state, iter - startIteration, converged, metrics.toSeq)
   }
 

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`). The dot
+ * products are `zip_with` + `aggregate` higher-order functions — codegen'd,
+ * no UDFs — with everything cast to double first so results are
+ * engine-reproducible.
+ *
+ * Scale notes: `bruteTopK` is O(Q×N) — the correctness baseline and fine for
+ * modest query sets broadcast against a large corpus. `lshIndex`/`lshTopK`
+ * is the scale path: deterministic random-hyperplane signatures bucket the
+ * corpus; candidates = same-bucket vectors, exactly re-ranked. Hyperplane
+ * components derive from md5, so index and query sides agree with no shared
+ * RNG state.
+ */
+object Similarity {
+
+  /** Σ a_i·b_i over double-cast arrays (sequential left fold, reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest corpus
+   * vectors (self excluded), ranked by rounded cosine (6dp, +1e-9 nudge) with
+   * id tie-break so the ranking is reproducible across engines.
+   */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")) + 1e-9, 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane p, dimension d):
+    * sign derived from one md5 hex digit — no RNG, no broadcast state. */
+  private def planeSign(p: Column, d: Column): Column = {
+    val digit = instr(lit("0123456789abcdef"),
+      substring(md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 1)) - 1
+    when(digit % 2 === 0, 1.0).otherwise(-1.0)
+  }
+
+  /** LSH signature: `planes` sign-bits of hyperplane dot products → one long
+    * bucket id. Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val contribs = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(lit(p), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, pow(lit(2.0), lit(p)).cast("long")).otherwise(0L)
+    }
+    contribs.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets + exact re-rank inside the bucket. Recall < 1 by
+    * construction; multiply probes by unioning rotated plane sets if needed. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")) + 1e-9, 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold on the
+    * rounded value). Brute-force over a sampled/bucketed pair set. */
+  def cosineNearDup(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("id").as("a"), col("vec").as("va"))
+    val b = vecs.select(col("id").as("b"), col("vec").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")) + 1e-9, 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Edge, LinkGraph, Transcripts}
+import graft.engine.GatherScatter
+import graft.algos.PageRank
+
+class GatherScatterSpec extends AnyFunSuite {
+  lazy val s = SparkTestBase.spark
+
+  test("LongDoubleMap: put/addTo/get over structured low-entropy keys") {
+    val m = new GatherScatter.LongDoubleMap(4)
+    val keys = (0L until 2000L).map(i => (i << 20) | (i % 12)) // convId<<20|turn shape
+    keys.foreach(k => m.put(k, k.toDouble))
+    keys.foreach(k => m.addTo(k, 1.0))
+    assert(m.size === keys.size)
+    keys.foreach(k => assert(m.getOrNaN(k) === k.toDouble + 1.0))
+    assert(m.getOrNaN(Long.MaxValue).isNaN)
+  }
+
+  test("gather-scatter PageRank == column-engine PageRank on the reference graph") {
+    val g = LinkGraph.fromSeq(s,
+      SparkTestBase.testGraphEdges.map { case (a, b) => Edge(a, b, 1.0) }, 4)
+    val fast = GatherScatter.toDF(s, GatherScatter.pageRank(GatherScatter.build(g), 0.3, 10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sql = PageRank.run(g, tol = -1.0, maxIterations = 10).state
+      .select("id", "pagerank").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet === sql.keySet)
+    for ((k, v) <- sql) assert(math.abs(fast(k) - v) < 1e-12, s"vertex $k")
+  }
+
+  test("gather-scatter PageRank on transcript graph: engine parity + partition invariance") {
+    val graph = Transcripts.toGraph(Transcripts.synthesize(s, 300))
+    val p4 = GatherScatter.toDF(s, GatherScatter.pageRank(GatherScatter.build(graph, 4), 0.3, 8))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p9 = GatherScatter.toDF(s, GatherScatter.pageRank(GatherScatter.build(graph, 9), 0.3, 8))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sql = PageRank.run(graph, tol = -1.0, maxIterations = 8).state
+      .select("id", "pagerank").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p4.keySet === sql.keySet)
+    for ((k, v) <- sql) {
+      assert(math.abs(p4(k) - v) < 1e-9, s"vs engine, vertex $k")
+      assert(math.abs(p4(k) - p9(k)) < 1e-12, s"partition invariance, vertex $k")
+    }
+  }
+}
