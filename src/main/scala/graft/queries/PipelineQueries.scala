@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/**
+ * Training-data pipeline queries over the documents/embeddings tables, each
+ * with an exact DuckDB twin. Sampled variants (`doc_id % k = 0`) keep the
+ * brute-force oracles tractable; the scale paths (LSH banding, bucketed ANN)
+ * are in graft.pipeline and covered by sbt tests.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def vecs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))),
+
+    "d_minhash" -> ((s, dir) =>
+      Dedup.minHash(Dedup.shingles(
+        docs(s, dir).filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"), 5), 8)),
+
+    "d_lsh_buckets" -> ((s, dir) => {
+      // 2-gram shingles + 1-row bands: this synthetic corpus has no real
+      // near-dups, so the bucket signal needs the loosest LSH setting
+      val sig = Dedup.minHash(Dedup.shingles(
+        docs(s, dir).filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"), 2), 8)
+      Dedup.lshBands(sig, 8, 8)
+        .groupBy("band", "bucket").agg(count("*").as("n_docs"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simHash(docs(s, dir), col("doc_id"), col("text"), 16)),
+
+    "d_jaccard" -> ((s, dir) => {
+      val sample = docs(s, dir).filter(col("doc_id") % 5 === 0)
+      Dedup.jaccardPairs(sample, col("doc_id"), col("text"), 3, 0.02)
+        .select(col("a"), col("b"), round(col("jaccard") + 1e-9, 6).as("jaccard"))
+    }),
+
+    "d_embed_neardup" -> ((s, dir) => {
+      val v = vecs(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.cosineNearDup(v, 0.35)
+    }),
+
+    "s_ann_topk" -> ((s, dir) => {
+      val q = vecs(s, dir).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c = vecs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteTopK(q, c, 5)
+    }),
+
+    "t_lang" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), col("doc_id"), col("text"))),
+
+    "t_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), col("doc_id"), col("text"))),
+
+    "t_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").as("id"),
+        TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"))),
+
+    "t_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"), 5)),
+
+    "m_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.fakeAssets(docs(s, dir), col("doc_id"), col("text"))))
+  )
+
+  // ---------- DuckDB oracle twins ----------
+
+  /** Shared shingle CTE (word k-grams, distinct per doc, sampled). */
+  private def shingleSql(sampleMod: Int, k: Int = 5): String =
+    s"""WITH sample AS (SELECT doc_id, text FROM documents WHERE doc_id % $sampleMod = 0),
+       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM sample),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${k - 1}], ' ') AS shingle
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-${k - 1}, 1))) AS i) g
+       |)
+       |""".stripMargin
+
+  private val minhashSql: String =
+    shingleSql(20) +
+      """, mh AS (
+        |  SELECT doc_id AS id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) hs
+        |  GROUP BY 1, 2)
+        |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      "SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper FROM documents GROUP BY 1",
+
+    "d_minhash" -> (minhashSql + "SELECT id, h, minhash FROM mh"),
+
+    "d_lsh_buckets" -> (shingleSql(20, 2) +
+      """, mh AS (
+        |  SELECT doc_id AS id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) hs
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT CAST(floor(h / 1.0) AS INT) AS band, id,
+        |         md5(string_agg(minhash, ',' ORDER BY h)) AS bucket
+        |  FROM mh GROUP BY 1, 2)
+        |SELECT band, bucket, count(*) AS n_docs FROM bands
+        |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin),
+
+    "d_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, md5(tok) AS hx
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents) t WHERE length(tok) > 0),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         strpos('0123456789abcdef', substr(hx, CAST(floor(j/4.0) AS INT) + 1, 1)) - 1 AS digit
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) js),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |         sum((CAST(floor(digit / pow(2, 3 - j % 4)) AS INT) % 2) * 2 - 1) AS v
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id AS id,
+        |       sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY 1""".stripMargin,
+
+    "d_jaccard" -> (shingleSql(5, 3) +
+      """, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT inter.a, inter.b, inter.i * 1.0 / (sa.sz + sb.sz - inter.i) AS j
+        |  FROM inter JOIN sizes sa ON sa.doc_id = inter.a JOIN sizes sb ON sb.doc_id = inter.b)
+        |SELECT a, b, round(j + 1e-9, 6) AS jaccard FROM jac WHERE j >= 0.02""".stripMargin),
+
+    "d_embed_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 1e-9, 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 1e-9, 6) >= 0.35""".stripMargin,
+
+    "s_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) + 1e-9, 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 100 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "t_lang" -> {
+      val occ = (m: String) =>
+        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)"
+      val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+        ms.map(occ).mkString(" + ") + s" AS score_$lang"
+      }.mkString(",\n       ")
+      s"""WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+         |scored AS (
+         |  SELECT doc_id AS id,
+         |       $scores
+         |  FROM padded)
+         |SELECT id,
+         |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+         |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         |       WHEN score_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS lang_pred,
+         |  score_en, score_es, score_de, score_fr
+         |FROM scored""".stripMargin
+    },
+
+    "t_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS ar,
+        |    CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+        |    CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END AS mt
+        |  FROM f)
+        |SELECT id, n_chars, n_tokens, n_alpha, n_punct,
+        |  round(ar + 1e-9, 6) AS alpha_ratio,
+        |  round(pr + 1e-9, 6) AS punct_ratio,
+        |  (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 0.25 ELSE 0.0 END +
+        |   CASE WHEN ar >= 0.6 THEN 0.25 ELSE 0.0 END +
+        |   CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END +
+        |   CASE WHEN mt BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END) AS quality
+        |FROM r""".stripMargin,
+
+    "t_tokens" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "t_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+        |SELECT doc_id AS id,
+        |       min(md5(array_to_string(t[i:i+4], ' '))) AS fingerprint
+        |FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-4, 1))) AS i) g
+        |GROUP BY 1""".stripMargin,
+
+    "m_features" ->
+      """WITH hexes AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, k,
+        |    16 * (strpos('0123456789abcdef', substr(hx, 2*k - 1, 1)) - 1)
+        |       + (strpos('0123456789abcdef', substr(hx, 2*k, 1)) - 1) AS b
+        |  FROM hexes, LATERAL (SELECT unnest(generate_series(1, 16)) AS k) ks)
+        |SELECT doc_id AS id,
+        |  CAST(max(CASE WHEN k = 1 THEN b END) % 64 + 1 AS INT) AS width,
+        |  CAST(max(CASE WHEN k = 2 THEN b END) % 64 + 1 AS INT) AS height,
+        |  sum(b) * 1.0 / 16 AS mean_byte
+        |FROM bytes GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val s = SparkTestBase.spark
+  import s.implicits._
+
+  // planted corpus: 1↔2 exact dup, 3↔4 near dup (one word changed), 5 unrelated
+  val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+  val near = "the quick brown fox jumps over the lazy cat and then runs far away home tonight"
+  lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, base + " extra tail words here"),
+    (4L, near + " extra tail words here"),
+    (5L, "completely different content about spark catalyst optimizer plans and shuffles")
+  ).toDF("id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val g = Dedup.exactGroups(docs, col("id"), col("text"))
+      .filter(col("n_docs") > 1).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("n_docs") === 2L && g(0).getAs[Long]("keeper") === 1L)
+  }
+
+  test("ngram jaccard finds the planted near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, col("id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup => jaccard 1
+    assert(pairs.contains((3L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH candidates contain the near-dup pairs; jaccardFor re-ranks exactly") {
+    val sh = Dedup.shingles(docs, col("id"), col("text"), 3)
+    val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHash(sh, 8), 8, 8))
+    val ranked = Dedup.jaccardFor(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (a, b) cols order: b joined first
+    val pairs = ranked.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated docs are not") {
+    val sh = Dedup.simHash(docs, col("id"), col("text"), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) === 0)                    // identical text
+    assert(ham(sh(3L), sh(4L)) < ham(sh(3L), sh(5L)))    // near < unrelated
+    assert(ham(sh(3L), sh(4L)) <= 4)
+  }
+
+  test("brute-force cosine top-k ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val top = Similarity.bruteTopK(vecs.filter($"id" === 1), vecs, 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(top.toSeq === Seq(2L, 3L))
+  }
+
+  test("LSH ANN: bucketed search returns exact-rerank results with decent recall") {
+    // deterministic vector set: clusters around 4 axes
+    val vecs = (0 until 200).map { i =>
+      val axis = i % 4
+      val v = Array.fill(8)(0.01f * ((i * 37) % 7))
+      v(axis) = 1.0f
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val queries = vecs.filter($"id" < 8)
+    val brute = Similarity.bruteTopK(queries, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, vecs, 5, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // same-bucket candidates only
+    assert(lsh.subsetOf(brute.union(lsh)))   // sanity
+  }
+
+  test("cosineNearDup finds planted parallel vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(2.0f, 4.0f, 6.0f)),   // parallel to 1
+      (3L, Array(-3.0f, 1.0f, 0.5f))).toDF("id", "vec")
+    val nd = Similarity.cosineNearDup(vecs, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq === Seq((1L, 2L)))
+  }
+
+  test("langId picks marker language; 'und' when no markers") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "la casa el perro los gatos la mesa"),
+      (3L, "der hund und die katze der mann"),
+      (4L, "le chat et les chiens le monde"),
+      (5L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val got = TextAnalysis.langId(d, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val d = Seq((1L, "hello world, it's 42 degrees!"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val got = d.select(col("id"), TextAnalysis.wsTokens(col("text")).as("ws"),
+                       TextAnalysis.bpeTokens(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 === 5L)
+    // hello|world|,|it|'|s|42|degrees|! = 9 BPE-ish tokens
+    assert(got(1L)._2 === 9L)
+    assert(got(2L) === ((0L, 0L)) && got(3L) === ((0L, 0L)))
+  }
+
+  test("quality scoring bands") {
+    val good = ("x" * 0) + "the quick brown fox jumps over the lazy dog " * 5
+    val d = Seq((1L, good.trim), (2L, "!!!! ???? ;;;; ....")).toDF("id", "text")
+    val got = TextAnalysis.quality(d, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) <= 0.25)
+  }
+
+  test("fingerprint is stable under appends far from the minimal window") {
+    val d1 = Seq((1L, base)).toDF("id", "text")
+    val fp1 = TextAnalysis.fingerprint(d1, col("id"), col("text")).head().getString(1)
+    // dup doc gets the same fingerprint
+    val d2 = Seq((2L, base)).toDF("id", "text")
+    assert(TextAnalysis.fingerprint(d2, col("id"), col("text")).head().getString(1) === fp1)
+  }
+
+  test("multimodal stub decode: batched partition-local features match local md5 math") {
+    val d = Seq((7L, "some content")).toDF("id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.fakeAssets(d, col("id"), col("text"))).head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("some content".getBytes("UTF-8"))
+    assert(f.getLong(0) === 7L)
+    assert(f.getInt(1) === (md(0) & 0xff) % 64 + 1)
+    assert(f.getInt(2) === (md(1) & 0xff) % 64 + 1)
+    assert(math.abs(f.getDouble(3) - md.map(_ & 0xff).sum.toDouble / 16) < 1e-12)
+  }
+}
