@@ -96,6 +96,13 @@ object Bench {
     val (e4, it4, sec4, eps4) = sqlBench(s4N, edgePath, iters = 10, warmIters = 2)
     val efficiency = (sec1 / sec2) / 4.0
 
+    // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
+    val gConv = GatherScatter.build(LinkGraph(s4N.read.parquet(edgePath)), 32)
+    val tConv = System.nanoTime()
+    val (convRanks, convIters) = GatherScatter.pageRankConverged(gConv, 0.3, 1e-5)
+    val convSec = (System.nanoTime() - tConv) / 1e9
+    convRanks.unpersist(false)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(s4N, sfDir).count() } catch { case _: Throwable => -1L }
@@ -104,7 +111,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    val pr = f"""{"edges":$e2,"supersteps":$it2,"sec":$sec3%.3f,"edges_per_sec":$eps3%.0f,"cores":$cpus,"path":"gather-scatter"}"""
+    val pr = f"""{"edges":$e2,"supersteps":$it2,"sec":$sec3%.3f,"edges_per_sec":$eps3%.0f,"cores":$cpus,"path":"gather-scatter",""" +
+      f""""convergence":{"tol":1e-5,"iterations":$convIters,"sec":$convSec%.3f}}"""
     val prSql = f"""{"edges":$e4,"supersteps":$it4,"sec":$sec4%.3f,"edges_per_sec":$eps4%.0f,"cores":$cpus,"path":"column-engine"}"""
     val scaling = f"""{"cores_small":1,"cores_large":4,"supersteps":$it1,"sec_small":$sec1%.3f,"sec_large":$sec2%.3f,""" +
       f""""edges_per_sec_small":$eps1%.0f,"edges_per_sec_large":$eps2%.0f,"efficiency":$efficiency%.3f,""" +

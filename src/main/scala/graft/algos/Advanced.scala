@@ -1,0 +1,229 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.LinkGraph
+import graft.engine._
+
+/**
+ * Incremental (delta) PageRank — `src/IncrementalPageRank.cpp:33-185`.
+ * State dPR{delta=0.3, pagerank=0.3, degree}; OUT_EDGES, ACTIVE_ONLY (all
+ * start active); msg = delta/outdeg (0 if outdeg 0); ⊕ = sum; apply (only
+ * receivers): reset delta if |delta|>1e-8, delta += (1−α)·Σ, and fold into
+ * pagerank when |delta|>1e-8; changed ⇔ |Δpagerank| > 1e-8
+ * (`dPR::operator!=`). Converges to the same fixpoint as PageRank while
+ * touching only the changing frontier.
+ */
+object DeltaPageRank {
+  def run(graph: LinkGraph, alpha: Double = 0.3,
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val deg = Degree.outDegrees(graph)
+    val init = graph.vertices
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"), lit(true).as("active"),
+        lit(0.3).as("pagerank"), lit(0.3).as("delta"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"),
+        when(col("degree") === 0, 0.0).otherwise(col("delta") / col("degree")).as("msg")),
+      reduce = Reduce.byAggs(sum("msg").as("acc")),
+      apply = (df, _) => {
+        val received = col("acc").isNotNull
+        val d0 = when(abs(col("delta")) > 1e-8, 0.0).otherwise(col("delta"))
+        val d1 = d0 + lit(1.0 - alpha) * col("acc")
+        val newDelta = when(received, d1).otherwise(col("delta"))
+        val newPr = when(received && abs(d1) > 1e-8, col("pagerank") + d1)
+          .otherwise(col("pagerank"))
+        val changed = abs(newPr - col("pagerank")) > 1e-8
+        df.select(col("id"), changed.as("active"),
+          newPr.as("pagerank"), newDelta.as("delta"), col("degree"),
+          changed.as("_changed"))
+      })
+    Superstep.run(graph, init, spec, cp)
+  }
+}
+
+/**
+ * Topological sort, Kahn peel — `src/TopologicalSort.cpp:39-206`. Phase 1:
+ * in-degree (InDegree program ≡ one grouped count). Phase 2: seeds =
+ * in-degree-0 vertices at order 0; each superstep every just-peeled vertex
+ * announces itself (msg true ⇒ 1), receivers subtract the count from their
+ * remaining in-degree and take order = superstep index when it reaches 0
+ * (`current_topsort_order`, bumped per iteration `:116-124`). Cycles leave
+ * vertices at order −1 (the reference's MAX_DIST sentinel, detected at
+ * `:177-184`).
+ *
+ * Returns state (id, in_degree, order); `order == -1` ⇒ on/behind a cycle.
+ */
+object TopologicalSort {
+  def run(graph: LinkGraph, cp: Option[CheckpointConfig] = None): RunResult = {
+    val inDeg = Degree.inDegrees(graph)
+    val init = graph.vertices
+      .join(inDeg, Seq("id"), "left_outer")
+      .select(col("id"),
+        (coalesce(col("degree"), lit(0L)) === 0).as("active"),
+        coalesce(col("degree"), lit(0L)).as("in_degree"),
+        when(coalesce(col("degree"), lit(0L)) === 0, 0L).otherwise(-1L).as("order"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"), (col("in_degree") === 0).as("msg")),
+      gather = df => df.withColumn("msg", when(col("msg"), 1L).otherwise(0L)),
+      reduce = Reduce.byAggs(sum("msg").as("acc")),
+      apply = (df, iter) => {
+        val received = col("acc").isNotNull && col("acc") > 0
+        val newInDeg = when(received, col("in_degree") - col("acc")).otherwise(col("in_degree"))
+        val peeled = received && col("in_degree") > 0 && newInDeg === 0
+        val newOrder = when(peeled, lit(iter + 1).cast("long")).otherwise(col("order"))
+        val changed = received && newInDeg =!= col("in_degree")
+        df.select(col("id"), changed.as("active"),
+          newInDeg.as("in_degree"), newOrder.as("order"),
+          changed.as("_changed"))
+      })
+    Superstep.run(graph, init, spec, cp)
+  }
+
+  /** The reference's cycle check (`:177-184`): count of unreached vertices. */
+  def unreachable(result: RunResult): Long =
+    result.state.filter(col("order") === -1L).count()
+}
+
+/**
+ * Delta-stepping SSSP — `src/DeltaStepping.cpp:42-198`. Edges split into
+ * light (weight ≤ δ) and heavy (> δ) graphs SHARING one distance/bucket
+ * state (`shareVertexProperty`, `:142`). Driver loop (`:163-178`): per
+ * bucket id — relax light edges to convergence (msg gated on bucket==bid:
+ * non-bid vertices send +∞, which never relaxes), one heavy superstep,
+ * advance bid while any vertex has bid ≤ bucket < ∞.
+ */
+object DeltaStepping {
+  def run(graph: LinkGraph, source: Long, delta: Double,
+          maxBuckets: Int = 10000): (DataFrame, Int) = {
+    val inf = Double.PositiveInfinity
+    val lightG = LinkGraph(graph.edges.filter(col("weight") <= delta), graph.numPartitions)
+    val heavyG = LinkGraph(graph.edges.filter(col("weight") > delta), graph.numPartitions)
+
+    def spec(bid: Int, maxIterations: Int) = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"),
+        when(col("bucket") === bid, col("dist")).otherwise(inf).as("msg")),
+      gather = df => df.withColumn("msg", col("msg") + col("weight")),
+      reduce = Reduce.byAggs(min("msg").as("acc")),
+      apply = (df, _) => {
+        val better = col("acc").isNotNull && col("acc") < col("dist")
+        df.select(col("id"), better.as("active"),
+          when(better, col("acc")).otherwise(col("dist")).as("dist"),
+          when(better, floor(col("acc") / delta).cast("long")).otherwise(col("bucket")).as("bucket"),
+          better.as("_changed"))
+      },
+      maxIterations = maxIterations)
+
+    // state over the FULL vertex set (light/heavy subgraphs share it)
+    var state = graph.vertices.select(
+      col("id"), lit(true).as("active"),
+      when(col("id") === source, 0.0).otherwise(inf).as("dist"),
+      when(col("id") === source, 0L).otherwise(Long.MaxValue).as("bucket"))
+
+    var bid = 0
+    var nonEmpty = true
+    while (nonEmpty && bid < maxBuckets) {
+      // light phase to convergence (setAllActive before each run, `:166`)
+      val light = Superstep.run(lightG, state.withColumn("active", lit(true)),
+        spec(bid, -1))
+      // heavy phase, exactly one superstep (`:170-171`)
+      val heavy = Superstep.run(heavyG, light.state.withColumn("active", lit(true)),
+        spec(bid, 1))
+      state = heavy.state
+      bid += 1
+      nonEmpty = state.filter(col("bucket") >= bid && col("bucket") =!= Long.MaxValue)
+        .limit(1).count() > 0
+    }
+    (state.select("id", "dist", "bucket"), bid)
+  }
+}
+
+/**
+ * SGD matrix factorization — `src/SGD.cpp:36-236`. Bipartite rating edges;
+ * K-dim latent vectors; ALL_EDGES (both directions), ALL_VERTICES, fixed
+ * iteration count (10 in the reference main). ⊗ is the 3-operand form
+ * (needs the receiver's vector): contrib = msg.lv · (rating − ⟨msg.lv,
+ * recv.lv⟩); ⊕ = elementwise vector sum (explode-K + regroup — scales to
+ * hub vertices, unlike collect_list); apply: lv += step·(−λ·lv + Σ).
+ *
+ * Init deviation (documented): the reference seeds per-vertex glibc
+ * `rand_r(vertexid)` (`:176-184`); we use a splitmix64-derived uniform [0,1)
+ * per (vertex, k) — deterministic and engine-reproducible. Conformance tests
+ * compare against an in-test fold using the SAME init.
+ */
+object Sgd {
+  val K = 20
+
+  /** Deterministic uniform [0,1) per (id, k) — splitmix64 finalizer.
+    * (Scala-side: the wrapping multiplies would trip ANSI overflow checks as
+    * Column arithmetic; init runs once in the load phase, so a typed map is
+    * fine and keeps test oracles bit-identical.) */
+  def initLv(id: Long, k: Int): Double = {
+    var z = (id * 31L + k + 1L) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / 9007199254740992.0 // 2^53
+  }
+
+  def run(graph: LinkGraph, iterations: Int = 10, lambda: Double = 0.001,
+          step: Double = 0.00000035, // reference defaults, `SGD.cpp:170`
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+    val kDims = K
+    val init = graph.vertices.select(col("id")).as[Long]
+      .map(id => (id, true, Array.tabulate(kDims)(k => initLv(id, k))))
+      .toDF("id", "active", "lv")
+    val spec = VertexProgramSpec(
+      direction = Direction.All,
+      activity = Activity.AllVertices,
+      needsRecvState = true,
+      send = fr => fr.select(col("id"), col("lv").as("msg")),
+      gather = df => {
+        val est = aggregate(zip_with(col("msg"), col("v_lv"), _ * _), lit(0.0), _ + _)
+        val err = col("weight") - est
+        df.withColumn("contrib", transform(col("msg"), x => x * err))
+      },
+      // ⊕ elementwise: explode the K dims, sum per (vertex, dim), regroup
+      reduce = df => df
+        .select(col("_recv"), posexplode(col("contrib")).as(Seq("k", "v")))
+        .groupBy("_recv", "k").agg(sum("v").as("v"))
+        .groupBy("_recv")
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("v")))),
+          s => s.getField("v")).as("acc")),
+      apply = (df, _) => {
+        val newLv = when(col("acc").isNull, col("lv"))
+          .otherwise(zip_with(col("lv"), col("acc"),
+            (l, a) => l + lit(step) * (lit(-lambda) * l + a)))
+        val changed = col("acc").isNotNull &&
+          exists(zip_with(newLv, col("lv"), (a, b) => abs(a - b)), _ > 1e-7)
+        df.select(col("id"), lit(true).as("active"), newLv.as("lv"),
+          changed.as("_changed"))
+      },
+      maxIterations = iterations,
+      trackChanges = false)
+    Superstep.run(graph, init, spec, cp)
+  }
+
+  /** RMSE over all ratings given a trained state — `RMSEProgram`
+    * (`SGD.cpp:122-156`) collapsed to its algebraic meaning:
+    * sqrt(Σ (rating − ⟨lv_u, lv_v⟩)² / nnz). */
+  def rmse(graph: LinkGraph, state: DataFrame): Double = {
+    val u = state.select(col("id").as("src"), col("lv").as("ulv"))
+    val v = state.select(col("id").as("dst"), col("lv").as("vlv"))
+    val est = aggregate(zip_with(col("ulv"), col("vlv"), _ * _), lit(0.0), _ + _)
+    val agg = graph.edges.join(u, "src").join(v, "dst")
+      .select(pow(col("weight") - est, 2.0).as("se"))
+      .agg(sum("se"), count("*")).head()
+    math.sqrt(agg.getDouble(0) / agg.getLong(1))
+  }
+}

@@ -258,38 +258,9 @@ object GatherScatter {
     var prev: Option[RDD[RankBlock]] = None
     var it = 0
     while (it < iterations) {
-      // gather: pr[src]·invDeg[src] → per-target-partition primitive accumulators
-      val packed: RDD[(Int, (Array[Long], Array[Double]))] =
-        ranks.zipPartitions(g.csr, preservesPartitioning = false) { (rIt, cIt) =>
-          val blk = cIt.next()
-          val rb = rIt.next()
-          val prOf = new LongDoubleMap(rb.ids.length)
-          var i = 0
-          while (i < rb.ids.length) { prOf.put(rb.ids(i), rb.pr(i)); i += 1 }
-          // pre-resolve pr/deg per distinct src (GraphMat resolves x[col] once per column)
-          val contrib = new Array[Double](blk.srcs.length)
-          i = 0
-          while (i < blk.srcs.length) {
-            contrib(i) = prOf.getOrNaN(blk.srcs(i)) * blk.invDeg(i)
-            i += 1
-          }
-          val accs = Array.fill(n)(null: LongDoubleMap)
-          var e = 0
-          val nE = blk.edgeDst.length
-          while (e < nE) {
-            val c = contrib(blk.edgeSrcIdx(e))
-            if (!java.lang.Double.isNaN(c)) {
-              val d = blk.edgeDst(e)
-              val tp = { val h = (mix(d) % n).toInt; if (h < 0) h + n else h } // MixPartitioner routing
-              if (accs(tp) == null) accs(tp) = new LongDoubleMap(64)
-              accs(tp).addTo(d, c)
-            }
-            e += 1
-          }
-          (0 until n).iterator.filter(accs(_) != null).map(tp => (tp, accs(tp).toArrays))
-        }
-      // scatter: one all-to-all of packed arrays (n×n records max)
-      val exchanged = packed.partitionBy(idPart)
+      // gather: pr[src]·invDeg[src] → per-target-partition primitive
+      // accumulators; scatter: one all-to-all of packed arrays (≤ n×n records)
+      val exchanged = gatherPhase(ranks, g, alpha, n).partitionBy(idPart)
       val newRanks = exchanged.zipPartitions(g.sourceIds, preservesPartitioning = true) {
         (pIt, sIt) =>
           val acc = new LongDoubleMap(1024)
@@ -318,6 +289,96 @@ object GatherScatter {
     }
     ranks
   }
+
+  /**
+   * PageRank until convergence, GraphMat stop rule: terminate when no vertex
+   * moved by more than `tol` (`PR::operator!=`, `src/PageRank.cpp:43-45`;
+   * land-reduce `GraphMatRuntime.h:208-226` — here a Spark accumulator).
+   * Returns (final ranks, supersteps run).
+   */
+  def pageRankConverged(g: PrGraph, alpha: Double = 0.3, tol: Double = 1e-5,
+                        maxIterations: Int = 200): (RDD[RankBlock], Int) = {
+    val sc = g.csr.sparkContext
+    val n = g.numPartitions
+    val idPart = new IdPartitioner(n)
+    var ranks = g.initRanks
+    var prev: Option[RDD[RankBlock]] = None
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val changedAcc = sc.longAccumulator(s"changed-$it")
+      val packed = gatherPhase(ranks, g, alpha, n)
+      val exchanged = packed.partitionBy(idPart)
+      val newRanks = exchanged
+        .zipPartitions(g.sourceIds, ranks, preservesPartitioning = true) { (pIt, sIt, oldIt) =>
+          val old = oldIt.next()
+          val oldPr = new LongDoubleMap(old.ids.length)
+          var i = 0
+          while (i < old.ids.length) { oldPr.put(old.ids(i), old.pr(i)); i += 1 }
+          val acc = new LongDoubleMap(1024)
+          while (pIt.hasNext) {
+            val (_, (ks, vs)) = pIt.next()
+            var j = 0
+            while (j < ks.length) { acc.addTo(ks(j), vs(j)); j += 1 }
+          }
+          val srcOnly = sIt.next()
+          val (ks, vs) = acc.toArrays
+          val m = ks.length + srcOnly.length
+          val ids = new Array[Long](m)
+          val prs = new Array[Double](m)
+          var changed = 0L
+          i = 0
+          while (i < ks.length) {
+            ids(i) = ks(i)
+            prs(i) = alpha + (1.0 - alpha) * vs(i)
+            if (math.abs(prs(i) - oldPr.getOrNaN(ks(i))) > tol) changed += 1
+            i += 1
+          }
+          var j = 0
+          while (j < srcOnly.length) { ids(i) = srcOnly(j); prs(i) = 0.3; i += 1; j += 1 }
+          changedAcc.add(changed)
+          Iterator.single(RankBlock(ids, prs))
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+      newRanks.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(newRanks)
+      ranks = newRanks
+      it += 1
+      converged = changedAcc.value == 0L
+    }
+    (ranks, it)
+  }
+
+  /** The gather (⊗ + thread-local ⊕) shared by both PageRank drivers. */
+  private def gatherPhase(ranks: RDD[RankBlock], g: PrGraph, alpha: Double,
+                          n: Int): RDD[(Int, (Array[Long], Array[Double]))] =
+    ranks.zipPartitions(g.csr, preservesPartitioning = false) { (rIt, cIt) =>
+      val blk = cIt.next()
+      val rb = rIt.next()
+      val prOf = new LongDoubleMap(rb.ids.length)
+      var i = 0
+      while (i < rb.ids.length) { prOf.put(rb.ids(i), rb.pr(i)); i += 1 }
+      val contrib = new Array[Double](blk.srcs.length)
+      i = 0
+      while (i < blk.srcs.length) {
+        contrib(i) = prOf.getOrNaN(blk.srcs(i)) * blk.invDeg(i)
+        i += 1
+      }
+      val accs = Array.fill(n)(null: LongDoubleMap)
+      var e = 0
+      val nE = blk.edgeDst.length
+      while (e < nE) {
+        val c = contrib(blk.edgeSrcIdx(e))
+        if (!java.lang.Double.isNaN(c)) {
+          val d = blk.edgeDst(e)
+          val tp = { val h = (mix(d) % n).toInt; if (h < 0) h + n else h }
+          if (accs(tp) == null) accs(tp) = new LongDoubleMap(64)
+          accs(tp).addTo(d, c)
+        }
+        e += 1
+      }
+      (0 until n).iterator.filter(accs(_) != null).map(tp => (tp, accs(tp).toArrays))
+    }
 
   /** DataFrame view of the final ranks (conformance tests / sinks). */
   def toDF(spark: SparkSession, ranks: RDD[RankBlock]): DataFrame = {

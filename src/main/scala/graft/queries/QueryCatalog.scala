@@ -82,7 +82,10 @@ object QueryCatalog {
         .select(col("id"), round(col("dist") + 1e-9, 6).as("dist"))
     }),
     "g_triangle" -> ((s, dir) =>
-      TriangleCount.perVertex(richGraph(s, dir)).select(col("id"), col("triangles")))
+      TriangleCount.perVertex(richGraph(s, dir)).select(col("id"), col("triangles"))),
+    "g_toposort" -> ((s, dir) =>
+      // bucket chains are disjoint paths: Kahn order == position in the path
+      TopologicalSort.run(bucketGraph(s, dir)).state.select(col("id"), col("order")))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -160,6 +163,11 @@ object QueryCatalog {
         |s0 AS (SELECT * FROM cum WHERE id = (SELECT min(id) FROM cum))
         |SELECT m.id, round(m.c - s0.c + 1e-9, 6) AS dist FROM cum m, s0
         |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
+    "g_toposort" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id, rn - min(rn) OVER (PARTITION BY user_id, bkt) AS "order" FROM mrn""".stripMargin),
     "g_triangle" -> (EventGraph.sqlBase +
       """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
         |tri AS (

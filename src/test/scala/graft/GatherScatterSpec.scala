@@ -30,6 +30,18 @@ class GatherScatterSpec extends AnyFunSuite {
     for ((k, v) <- sql) assert(math.abs(fast(k) - v) < 1e-12, s"vertex $k")
   }
 
+  test("gather-scatter until-convergence matches the reference fold and the engine's stop rule") {
+    val g = LinkGraph.fromSeq(s,
+      SparkTestBase.testGraphEdges.map { case (a, b) => Edge(a, b, 1.0) }, 4)
+    val (ranks, iters) = GatherScatter.pageRankConverged(GatherScatter.build(g), 0.3, 1e-5)
+    val got = GatherScatter.toDF(s, ranks).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = SparkTestBase.refPageRank(SparkTestBase.testGraphEdges)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-6, s"vertex $k")
+    val engine = PageRank.run(g)
+    assert(iters === engine.iterations, s"fast $iters vs engine ${engine.iterations}")
+  }
+
   test("gather-scatter PageRank on transcript graph: engine parity + partition invariance") {
     val graph = Transcripts.toGraph(Transcripts.synthesize(s, 300))
     val p4 = GatherScatter.toDF(s, GatherScatter.pageRank(GatherScatter.build(graph, 4), 0.3, 8))
