@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Transcripts
+import graft.streaming.TranscriptStream
+import graft.streaming.TranscriptStream.TurnEvent
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val s = SparkTestBase.spark
+  import s.implicits._
+
+  test("streaming edge extraction == batch extraction, across batch boundaries and out-of-order turns") {
+    implicit val sq = s.sqlContext
+    val t = Transcripts.synthesize(s, 40)
+    val events = t.as[Transcripts.Turn].collect()
+      .map(x => TurnEvent(x.conv_id, x.turn_idx, x.role, x.text, x.tool, x.ts))
+
+    // shuffle deterministically within conversations and split into 3 batches
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(events.toSeq)
+    val batches = shuffled.grouped(math.max(shuffled.size / 3, 1)).toSeq
+
+    val input = MemoryStream[TurnEvent]
+    val q = TranscriptStream.edges(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_edges")
+      .start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    // compare conv-relative (srcIdx within conv block, dstIdx) pairs:
+    // batch ids are dense ranks, streaming ids are hash blocks — both put
+    // turn_idx in the low 20 bits
+    def relPairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(
+        (col("src") - (col("src").bitwiseAND(lit(0xFFFFFL)))).as("sblk"),
+        col("src").bitwiseAND(lit(0xFFFFFL)).as("si"),
+        col("dst").bitwiseAND(lit(0xFFFFFL)).as("di"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val got = relPairs(s.table("stream_edges").dropDuplicates("src", "dst"))
+    val want = relPairs(Transcripts.edges(Transcripts.vertices(t)))
+    assert(got.size === want.size)
+    assert(got.map(x => (x._2, x._3)).groupBy(identity).view.mapValues(_.size).toMap ===
+           want.map(x => (x._2, x._3)).groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("watermarked sliding-window tool rates aggregate a replayed stream") {
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val base = 1700000000000L
+    val q = TranscriptStream.toolRates(input.toDS().toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tool_rates")
+      .start()
+    input.addData(
+      TurnEvent("c1", 1, "assistant", "t", "search", new Timestamp(base)),
+      TurnEvent("c2", 1, "assistant", "t", "search", new Timestamp(base + 60000)),
+      TurnEvent("c3", 1, "assistant", "t", "bash", new Timestamp(base + 120000)))
+    q.processAllAvailable()
+    q.stop()
+    val rates = s.table("tool_rates")
+      .groupBy("tool").agg(max("invocations").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("search") === 2L && rates("bash") === 1L)
+  }
+}
