@@ -9,17 +9,19 @@ import graft.engine.GatherScatter
 /**
  * Round benchmark. Prints ONE JSON line:
  *   {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},"sf":...,
- *    "pagerank":{...},"pagerank_sql":{...},"scaling":{...}}
+ *    "pagerank":{...},"pagerank_sql":{...},"scaling":{...},"scaling_1_4":{...}}
  *
  * Headline (BASELINE.json): PageRank superstep throughput in edges/sec on a
  * transcript-derived edge table, via the CSR gather-scatter path
  * (engine/GatherScatter.scala), measured at two parallelism levels on the
  * SAME input as this sandbox's proxy for N vs 4N executors; scaling
- * efficiency = (T_N / T_4N) / 4. The pair is 1 vs 4 threads: past ~8 threads
- * a single-JVM local "cluster" measures one memory controller's bandwidth,
- * not the partitioning design (full thread curve + analysis in BASELINE.md
- * "Scaling"). The SQL-engine superstep number is reported alongside for the
- * declarative path.
+ * efficiency = (T_N / T_4N) / 4. Primary pair: local[8] vs local[32] (the
+ * round brief's example); the 1 vs 4 pair is reported alongside because past
+ * ~8 threads a single-JVM "cluster" increasingly measures one memory
+ * controller rather than the partitioning design (full curve + analysis in
+ * BASELINE.md "Scaling"). Every leg starts from a freshly built, freshly
+ * cached graph and unpersists it afterwards so no leg times another leg's
+ * heap garbage.
  */
 object Bench {
 
@@ -40,7 +42,8 @@ object Bench {
   }
 
   /** Gather-scatter PageRank superstep throughput. Timed window = the
-    * superstep loop only (CSR build and JIT warm excluded). */
+    * superstep loop only (CSR build and JIT warm excluded). Cleans up its
+    * cached structures before returning. */
   private def fastBench(spark: SparkSession, edgePath: String,
                         iters: Int, warmIters: Int): (Long, Int, Double, Double) = {
     val graph = LinkGraph(spark.read.parquet(edgePath))
@@ -53,6 +56,8 @@ object Bench {
     val r = GatherScatter.pageRank(g, 0.3, iters)
     val sec = (System.nanoTime() - t0) / 1e9
     r.unpersist(false)
+    g.unpersist()
+    graph.unpersistAll()
     (g.numEdges, iters, sec, g.numEdges.toDouble * iters / sec)
   }
 
@@ -76,7 +81,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1200000").toInt
 
-    // synthesize the deterministic transcript graph ONCE; both scaling legs
+    // synthesize the deterministic transcript graph ONCE; all scaling legs
     // then time supersteps, not ETL
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val edgePath = s"$tmp/edges.parquet"
@@ -85,23 +90,31 @@ object Bench {
       .write.mode("overwrite").parquet(edgePath)
     gen.stop()
 
-    val sA = session(1)
-    val (e1, it1, sec1, eps1) = fastBench(sA, edgePath, iters = 5, warmIters = 2)
-    sA.stop()
-    val sB = session(4)
-    val (_, _, sec2, eps2) = fastBench(sB, edgePath, iters = 5, warmIters = 2)
-    sB.stop()
+    // N vs 4N parallelism, same input, fixed 32 partitions: 1->4 and 8->32
+    val s1 = session(1)
+    val (e1, it1, sec1, eps1) = fastBench(s1, edgePath, iters = 5, warmIters = 2)
+    s1.stop()
+    val s4 = session(4)
+    val (_, _, sec4, eps4) = fastBench(s4, edgePath, iters = 5, warmIters = 2)
+    s4.stop()
+    val s8 = session(8)
+    val (e8, it8, sec8, eps8) = fastBench(s8, edgePath, iters = 10, warmIters = 2)
+    s8.stop()
     val s4N = session(cpus)
-    val (e2, it2, sec3, eps3) = fastBench(s4N, edgePath, iters = 10, warmIters = 2)
-    val (e4, it4, sec4, eps4) = sqlBench(s4N, edgePath, iters = 10, warmIters = 2)
-    val efficiency = (sec1 / sec2) / 4.0
+    val (e2, it2, sec32, eps32) = fastBench(s4N, edgePath, iters = 10, warmIters = 2)
+    val (e4b, it4b, secSql, epsSql) = sqlBench(s4N, edgePath, iters = 10, warmIters = 2)
+    val eff14 = (sec1 / sec4) / 4.0
+    val eff832 = (sec8 * it2 / it8 / sec32) / 4.0
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
-    val gConv = GatherScatter.build(LinkGraph(s4N.read.parquet(edgePath)), 32)
+    val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
+    val gConv = GatherScatter.build(gcGraph, 32)
     val tConv = System.nanoTime()
     val (convRanks, convIters) = GatherScatter.pageRankConverged(gConv, 0.3, 1e-5)
     val convSec = (System.nanoTime() - tConv) / 1e9
     convRanks.unpersist(false)
+    gConv.unpersist()
+    gcGraph.unpersistAll()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -111,13 +124,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    val pr = f"""{"edges":$e2,"supersteps":$it2,"sec":$sec3%.3f,"edges_per_sec":$eps3%.0f,"cores":$cpus,"path":"gather-scatter",""" +
+    val pr = f"""{"edges":$e2,"supersteps":$it2,"sec":$sec32%.3f,"edges_per_sec":$eps32%.0f,"cores":$cpus,"path":"gather-scatter",""" +
       f""""convergence":{"tol":1e-5,"iterations":$convIters,"sec":$convSec%.3f}}"""
-    val prSql = f"""{"edges":$e4,"supersteps":$it4,"sec":$sec4%.3f,"edges_per_sec":$eps4%.0f,"cores":$cpus,"path":"column-engine"}"""
-    val scaling = f"""{"cores_small":1,"cores_large":4,"supersteps":$it1,"sec_small":$sec1%.3f,"sec_large":$sec2%.3f,""" +
-      f""""edges_per_sec_small":$eps1%.0f,"edges_per_sec_large":$eps2%.0f,"efficiency":$efficiency%.3f,""" +
-      f""""edges":$e1,"note":"N=1 vs 4N=4 threads, one JVM, fixed 32 partitions; full 1/2/4/8/32-thread curve in BASELINE.md"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":$pr,"pagerank_sql":$prSql,"scaling":$scaling}""")
+    val prSql = f"""{"edges":$e4b,"supersteps":$it4b,"sec":$secSql%.3f,"edges_per_sec":$epsSql%.0f,"cores":$cpus,"path":"column-engine"}"""
+    val scaling = f"""{"cores_small":8,"cores_large":$cpus,"supersteps":$it2,"sec_small":${sec8 * it2 / it8}%.3f,"sec_large":$sec32%.3f,""" +
+      f""""edges_per_sec_small":$eps8%.0f,"edges_per_sec_large":$eps32%.0f,"efficiency":$eff832%.3f,""" +
+      f""""edges":$e8,"note":"N=8 vs 4N=32 threads, one JVM, fixed 32 partitions; 1->4 pair + full curve in BASELINE.md"}"""
+    val scaling14 = f"""{"cores_small":1,"cores_large":4,"supersteps":$it1,"sec_small":$sec1%.3f,"sec_large":$sec4%.3f,""" +
+      f""""edges_per_sec_small":$eps1%.0f,"edges_per_sec_large":$eps4%.0f,"efficiency":$eff14%.3f,"edges":$e1}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":$pr,"pagerank_sql":$prSql,"scaling":$scaling,"scaling_1_4":$scaling14}""")
     s4N.stop()
   }
 }

@@ -174,13 +174,23 @@ object Sgd {
     (z >>> 11).toDouble / 9007199254740992.0 // 2^53
   }
 
+  /** md5-derived init vector (first 8 hex digits → uniform [0,1)): exactly
+    * replayable by the DuckDB oracle (conv/substring are both engines'
+    * builtins), unlike the splitmix default. */
+  def md5Init(graph: LinkGraph): DataFrame =
+    graph.vertices.select(col("id"), lit(true).as("active"),
+      array((0 until K).map(k =>
+        conv(substring(md5(concat(col("id").cast("string"), lit(":"), lit(k))), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0)): _*).as("lv"))
+
   def run(graph: LinkGraph, iterations: Int = 10, lambda: Double = 0.001,
           step: Double = 0.00000035, // reference defaults, `SGD.cpp:170`
-          cp: Option[CheckpointConfig] = None): RunResult = {
+          cp: Option[CheckpointConfig] = None,
+          initState: DataFrame = null): RunResult = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
     val kDims = K
-    val init = graph.vertices.select(col("id")).as[Long]
+    val init = if (initState != null) initState else graph.vertices.select(col("id")).as[Long]
       .map(id => (id, true, Array.tabulate(kDims)(k => initLv(id, k))))
       .toDF("id", "active", "lv")
     val spec = VertexProgramSpec(

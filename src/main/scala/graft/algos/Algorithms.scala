@@ -234,15 +234,42 @@ object Sssp {
  * `applyReduceAllVertices`, `TriangleCounting.cpp:194-196`).
  */
 object TriangleCount {
+  /** Orient the canonical (src<dst) edge set from the (degree, id)-smaller
+    * endpoint — the standard scale fix: after orientation, out-degree is
+    * O(sqrt(E)) even for hubs, so the wedge join enumerates O(E^1.5)
+    * candidates instead of deg(hub)^2 around a hub. Returns
+    * (lo, hi, dh = degree(hi)). */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("src").as("x")).union(e.select(col("dst").as("x")))
+      .groupBy("x").agg(count("*").as("d"))
+    val srcFirst =
+      col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst"))
+    e.join(deg.select(col("x").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("x").as("dst"), col("d").as("dd")), "dst")
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("lo"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("hi"),
+        when(srcFirst, col("dd")).otherwise(col("ds")).as("dh"))
+  }
+
   def perVertex(graph: LinkGraph): DataFrame = {
     val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst")
-    val e1 = e.select(col("src").as("w"), col("dst").as("u"))
-    val e2 = e.select(col("src").as("w2"), col("dst").as("v"))
-    val e3 = e.select(col("src").as("u3"), col("dst").as("v3"))
-    val tris = e1
-      .join(e2, e1("w") === e2("w2") && e1("u") < e2("v"))
-      .join(e3, e1("u") === e3("u3") && e2("v") === e3("v3"), "left_semi")
-    val counts = tris.groupBy(col("v").as("id")).agg(count("*").as("triangles"))
+    val o = orientByDegree(e)
+    // each triangle is found once, at its (deg,id)-minimal vertex w; the
+    // closing edge (u,v) is oriented u->v by the same total order the wedge
+    // filter uses, so a semi-join against the oriented edge set closes it
+    val o1 = o.select(col("lo").as("w"), col("hi").as("u"), col("dh").as("du"))
+    val o2 = o.select(col("lo").as("w2"), col("hi").as("v"), col("dh").as("dv"))
+    val wedges = o1.join(o2, col("w") === col("w2") &&
+      (col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))))
+    val closing = o.select(col("lo").as("u3"), col("hi").as("v3"))
+    val tris = wedges.join(closing,
+      col("u") === col("u3") && col("v") === col("v3"), "left_semi")
+    // per-vertex attribution matches the reference: the LARGEST original id
+    // of the triangle gets the count (`TriangleCounting.cpp:39-216`)
+    val counts = tris
+      .groupBy(greatest(col("w"), col("u"), col("v")).as("id"))
+      .agg(count("*").as("triangles"))
     graph.vertices.join(counts, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }

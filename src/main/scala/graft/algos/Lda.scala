@@ -30,9 +30,16 @@ object Lda {
 
   /** Per-(edge value, dim) uniform [0,1): xxhash64-based (overflow-free in
     * ANSI mode), identical for both directions of an edge. */
-  private def gamma0(weight: Column, i: Int): Column =
+  def gamma0(weight: Column, i: Int): Column =
     shiftrightunsigned(xxhash64(weight.cast("long"), lit(i)), 11).cast("double") /
       lit(9007199254740992.0)
+
+  /** md5-derived gamma init (first 8 hex digits → uniform [0,1)): exactly
+    * replayable by the DuckDB oracle, unlike xxhash64. Same symmetry property
+    * (seeded by the edge value alone). */
+  def gamma0Md5(weight: Column, i: Int): Column =
+    (conv(substring(md5(concat(weight.cast("long").cast("string"), lit(":"), lit(i))), 1, 8),
+      16, 10).cast("long").cast("double")) / lit(4294967296.0)
 
   /** One ⊕ over exploded topic dims: (id, contrib array) → summed arrays. */
   private def sumArrays(df: DataFrame, key: String): DataFrame = df
@@ -44,11 +51,12 @@ object Lda {
 
   /** The init superstep as its algebraic meaning: per-vertex sum of
     * gamma-normalized edge-count vectors over ALL incident edges. */
-  def init(graph: LinkGraph, types: DataFrame): DataFrame = {
+  def init(graph: LinkGraph, types: DataFrame,
+           gammaFn: (Column, Int) => Column = gamma0): DataFrame = {
     val e = graph.edges
     val both = e.select(col("dst").as("id"), col("weight"))
       .union(e.select(col("src").as("id"), col("weight")))
-    val gs = array((0 until K).map(i => gamma0(col("weight"), i)): _*)
+    val gs = array((0 until K).map(i => gammaFn(col("weight"), i)): _*)
     val gsum = aggregate(gs, lit(0.0), _ + _)
     val contrib = both.withColumn("contrib",
       transform(gs, g => g / gsum * col("weight")))
@@ -76,10 +84,11 @@ object Lda {
 
   def run(graph: LinkGraph, types: DataFrame, iterations: Int = 10,
           alpha: Double = 1.0, eta: Double = 5.0,
-          vocabSize: Long = -1L): DataFrame = {
+          vocabSize: Long = -1L,
+          gammaFn: (Column, Int) => Column = gamma0): DataFrame = {
     val v = if (vocabSize > 0) vocabSize
             else types.filter(col("type") === "w").count()
-    var state = init(graph, types)
+    var state = init(graph, types, gammaFn)
     var it = 0
     while (it < iterations) {
       val gN = globalN(state) // do_every_iteration / pre-run calcGlobalN

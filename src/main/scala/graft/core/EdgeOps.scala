@@ -62,14 +62,15 @@ object EdgeOps {
     edges.withColumn("weight", ceil(rand(seed) * maxWeight).cast("double"))
 
   /** `randomize_edgelist_square` (`edgelist.h:336-366`): random (seeded)
-    * global vertex-id permutation applied to both endpoints. */
+    * global vertex-id permutation applied to both endpoints. Ranks come from
+    * DenseRank (no single-partition window) — the permutation is the rank of
+    * each id under a seeded hash order. */
   def permuteIds(edges: DataFrame, seed: Long): DataFrame = {
     val ids = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    val perm = ids
-      .withColumn("ord", row_number().over(Window.orderBy("id")).cast("long"))
-      .withColumn("shuf", row_number().over(Window.orderBy(xxhash64(col("id"), lit(seed)), col("id"))).cast("long"))
-    val mapping = perm.select(col("id"), col("shuf").as("newId"))
+    val mapping = DenseRank
+      .denseOrdBy(ids, "shuf", xxhash64(col("id"), lit(seed)), col("id"))
+      .select(col("id"), (col("shuf") + 1).as("newId"))
     edges
       .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newId", "nsrc"), "src")
       .join(mapping.withColumnRenamed("id", "dst").withColumnRenamed("newId", "ndst"), "dst")
@@ -79,9 +80,9 @@ object EdgeOps {
   /** `remove_empty_columns` (`edgelist.h:368-409`): compact dst ids to a dense
     * 1..k range; returns (remapped edges, mapping old→new). */
   def compactDstIds(edges: DataFrame): (DataFrame, DataFrame) = {
-    val mapping = edges.select(col("dst").as("old"))
-      .distinct()
-      .withColumn("new", row_number().over(Window.orderBy("old")).cast("long"))
+    val mapping = DenseRank
+      .denseOrdBy(edges.select(col("dst").as("old")).distinct(), "ord", col("old"))
+      .select(col("old"), (col("ord") + 1).as("new"))
     val remapped = edges.join(mapping, edges("dst") === mapping("old"))
       .select(col("src"), col("new").as("dst"), col("weight"))
     (remapped, mapping)
@@ -99,13 +100,27 @@ object EdgeOps {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** `collect_edges` test utility (`test/test_utils.h:51-110`): gather the
+    * distributed edge list to the driver (fixture scale only). */
+  def collectEdges(edges: DataFrame): Seq[Edge] =
+    edges.select(col("src"), col("dst"), col("weight")).collect()
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  /** `distribute_edges` test utility (`test/test_utils.h:112-164`). */
+  def distributeEdges(spark: org.apache.spark.sql.SparkSession, es: Seq[Edge],
+                      numPartitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(es).repartition(numPartitions).toDF()
+  }
+
   /** Remap arbitrary vertex ids to a dense 1..n range (both endpoints), the
     * analog of the reference's native-id remap (`Graph.h:111-150`) minus the
     * cache-blocking permutation. Returns (edges, mapping(id,newId)). */
   def remapDenseIds(edges: DataFrame): (DataFrame, DataFrame) = {
     val ids = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    val mapping = ids.withColumn("newId", row_number().over(Window.orderBy("id")).cast("long"))
+    val mapping = DenseRank.denseOrdBy(ids, "ord", col("id"))
+      .select(col("id"), (col("ord") + 1).as("newId"))
     val out = edges
       .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newId", "nsrc"), "src")
       .join(mapping.withColumnRenamed("id", "dst").withColumnRenamed("newId", "ndst"), "dst")

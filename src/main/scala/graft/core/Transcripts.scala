@@ -77,16 +77,15 @@ object Transcripts {
    * (conv_id, turn_idx) — the per-row invariant "per-turn text equality under
    * stable turn ordering" is tested by re-projecting turns from this table.
    *
-   * Scale note: a global `row_number()` would single-task; instead the id is
-   * built hierarchically — dense conversation ids from a per-conv aggregate
-   * (small), then id = convDenseId * 2^20 + turn_idx. Collision-free for
-   * conversations under 2^20 turns (transcripts are), monotone in the stable
-   * ordering, and computed with one small shuffle instead of a global sort.
+   * Scale note: the id is built hierarchically — dense conversation ordinals
+   * (DenseRank: range-partition + zipWithIndex, NO single-partition window),
+   * then id = convOrd * 2^20 + turn_idx. Collision-free for conversations
+   * under 2^20 turns (transcripts are), monotone in the stable ordering, and
+   * every stage stays fully parallel at 10^9-conversation scale.
    */
   def vertices(transcripts: DataFrame): DataFrame = {
-    val convs = transcripts.select("conv_id").distinct()
-      .withColumn("conv_ord",
-        row_number().over(Window.orderBy("conv_id")).cast("long") - 1)
+    val convs = DenseRank.denseOrdBy(
+      transcripts.select("conv_id").distinct(), "conv_ord", col("conv_id"))
     transcripts.join(convs, "conv_id")
       .withColumn("id", col("conv_ord") * (1L << 20) + col("turn_idx"))
       .drop("conv_ord")

@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.Partitioner
+import org.apache.spark.{Partitioner, TaskContext}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -10,24 +11,40 @@ import graft.core.LinkGraph
 
 /**
  * The SpMV inner loop compiled as a partition-local gather-scatter over
- * sorted CSR-style edge partitions — the direct Spark analog of GraphMat's
- * tile kernel (`singlenode/spmspv.h:39-86`):
+ * CSR-style edge partitions — the direct Spark analog of GraphMat's tile
+ * kernel (`singlenode/spmspv.h:39-86`), with the communication structure
+ * computed ONCE at build time (GraphMat's `ingestEdgelist` + DCSC tile build,
+ * `SpMat.h:97-278`) so each superstep is pure primitive-array arithmetic:
  *
- *  - Edges are hash-partitioned by src into per-partition PRIMITIVE arrays:
- *    unique sorted srcs with inverse out-degree, plus per-edge
- *    (src-index, dst) — a CSR block (the DCSC tile analog,
- *    `DCSCTile.h:241-381`).
- *  - The rank vector is one primitive block per partition, co-partitioned
- *    with the edge blocks, so the reference's "broadcast x to column ranks"
- *    phase (`multinode/spmspv.h:62-116`) is a zipPartitions — zero movement.
- *  - Gather: contrib = pr[src]·invDeg[src] accumulated into per-target
- *    open-address primitive maps (⊗ then thread-local ⊕). Scatter: ONE
- *    shuffle of n×n packed array records (the row-reduce all-to-all,
- *    `multinode/spmspv.h:141-203`) — not |E| boxed tuples.
+ *  - Edges are hash-partitioned by src; within a partition they are
+ *    re-encoded as (src-index, out-index) pairs grouped by TARGET partition,
+ *    where out-index points into a static per-(block, target) unique-dst
+ *    array. Gather is then `vals(outIdx(e)) += contrib(srcIdx(e))` — no
+ *    hashing, no allocation beyond the output buffers.
+ *  - The scatter is ONE all-to-all of packed `Array[Double]` records (≤ n×n
+ *    of them — the row-reduce all-to-all, `multinode/spmspv.h:141-203`); the
+ *    receiver folds them through a static incoming-index table (`inIdx`,
+ *    built once) into a dense per-partition accumulator. Because each
+ *    (source block, hub dst) contributes ONE pre-summed slot, a hub vertex
+ *    receives at most n partials per superstep — the two-phase (salted) ⊕
+ *    the north rule asks for is structural here, not bolted on.
+ *  - Vertex state is a dense `Array[Double]` aligned to a static per-partition
+ *    id layout (receivers first, in-degree-0 srcs after), so the apply phase
+ *    is a sequential array pass and convergence checking is index-aligned.
  *
- * One RDD job, one shuffle, no Catalyst re-planning, no per-row boxing per
- * superstep. Throughput path only; semantics verified against the
- * Column-algebra engine (allclose 1e-9) in GatherScatterSpec.
+ * Skew handling (north rule: "salted hot vertices, degree-aware split"):
+ * srcs whose out-degree exceeds `hotDegree` have their edge lists SPLIT
+ * across partitions — each hot edge is routed by mix(dst) instead of
+ * mix(src), co-locating it with its receiver — and the (few) hot ranks are
+ * broadcast per superstep (the mirror/ghost-vertex pattern; GraphMat's
+ * "broadcast x to column ranks" phase, `multinode/spmspv.h:62-116`). A
+ * million-out-degree hub therefore costs every partition |E_hub|/n edges
+ * instead of one partition |E_hub|.
+ *
+ * One RDD job plus one (skippable) hot-mirror job per superstep, one shuffle,
+ * no Catalyst re-planning, no per-row boxing. Throughput path only; semantics
+ * verified against the Column-algebra engine (allclose 1e-9) in
+ * GatherScatterSpec.
  */
 object GatherScatter {
 
@@ -42,13 +59,15 @@ object GatherScatter {
     z ^ (z >>> 31)
   }
 
+  @inline private def partOf(k: Long, n: Int): Int = {
+    val h = (mix(k) % n).toInt
+    if (h < 0) h + n else h
+  }
+
   /** Partitioner routing Long keys through the mixer. */
   final class MixPartitioner(val n: Int) extends Partitioner {
     def numPartitions: Int = n
-    def getPartition(key: Any): Int = {
-      val h = (mix(key.asInstanceOf[Long]) % n).toInt
-      if (h < 0) h + n else h
-    }
+    def getPartition(key: Any): Int = partOf(key.asInstanceOf[Long], n)
     override def equals(o: Any): Boolean = o match {
       case p: MixPartitioner => p.n == n
       case _ => false
@@ -56,8 +75,16 @@ object GatherScatter {
     override def hashCode: Int = n
   }
 
-  /** Open-addressing Long→Double map, linear probing, power-of-2 capacity.
-    * Sentinel Long.MinValue = empty (vertex ids must not use it). */
+  /**
+   * Open-addressing Long→Double map, linear probing, power-of-2 capacity.
+   * Sentinel Long.MinValue = empty (vertex ids must not use it).
+   *
+   * The slot hash uses the HIGH 32 bits of mix(k) — independent of the
+   * routing hash `mix(k) % n` (low bits). Within one partition every key
+   * shares the same routing residue, so hashing slots with the same low bits
+   * would leave only 1/n of the table as home slots and probe chains n× the
+   * load factor (measured as a 10-20× superstep slowdown in round 1).
+   */
   final class LongDoubleMap(expected: Int) extends Serializable {
     private val EMPTY = Long.MinValue
     private var cap = Integer.highestOneBit(math.max(expected, 8) * 4 - 1) << 1
@@ -68,8 +95,10 @@ object GatherScatter {
 
     def size: Int = n
 
+    @inline private def home(k: Long): Int = (mix(k) >>> 32).toInt & mask
+
     def addTo(k: Long, v: Double): Unit = {
-      var i = mix(k).toInt & mask
+      var i = home(k)
       while (true) {
         val kk = keys(i)
         if (kk == k) { vals(i) += v; return }
@@ -83,7 +112,7 @@ object GatherScatter {
     }
 
     def put(k: Long, v: Double): Unit = {
-      var i = mix(k).toInt & mask
+      var i = home(k)
       while (true) {
         val kk = keys(i)
         if (kk == k) { vals(i) = v; return }
@@ -98,7 +127,7 @@ object GatherScatter {
 
     /** NaN when absent. */
     def getOrNaN(k: Long): Double = {
-      var i = mix(k).toInt & mask
+      var i = home(k)
       while (true) {
         val kk = keys(i)
         if (kk == k) return vals(i)
@@ -131,22 +160,50 @@ object GatherScatter {
     }
   }
 
-  /** CSR block: sorted unique srcs with inverse out-degree; edges as
-    * (index-into-srcs, dst) pairs. Primitive arrays only. */
+  /**
+   * Static per-partition edge structure (the DCSC tile analog,
+   * `DCSCTile.h:241-381`). `srcs` are the partition's LOCAL srcs (rank held
+   * here); hot-shard edges reference the global hot list instead.
+   * Per target partition tp: `outIds(tp)` = unique dsts routed to tp;
+   * normal edges as (srcIdx into srcs, outIdx into outIds(tp)).
+   * Hot edges were routed here BY dst, so their target bucket is this
+   * partition itself: (hotIdx into hotLocal, outIdx into outIds(self)).
+   */
   final case class CsrBlock(
       srcs: Array[Long], invDeg: Array[Double],
-      edgeSrcIdx: Array[Int], edgeDst: Array[Long])
+      outIds: Array[Array[Long]],
+      edgeSrcIdx: Array[Array[Int]], edgeOutIdx: Array[Array[Int]],
+      hotLocal: Array[Int],          // global hot-list index of hot srcs with edges here
+      hotLocalInvDeg: Array[Double], // 1/globalDegree aligned to hotLocal
+      hotEdgeSrcIdx: Array[Int],     // per hot edge: index into hotLocal
+      hotEdgeOutIdx: Array[Int])     // per hot edge: index into outIds(self)
 
-  /** One rank block per partition. */
+  /** Static per-partition vertex layout: receivers (in-degree > 0) occupy
+    * ids[0, nRecv); in-degree-0 srcs follow. `srcPrIdx` aligns CsrBlock.srcs
+    * to this layout; `hotHomeGlobal`/`hotHomeLocal` locate the hot vertices
+    * homed in this partition for the per-superstep mirror broadcast. */
+  final case class VertexMeta(
+      ids: Array[Long], nRecv: Int,
+      srcPrIdx: Array[Int],
+      hotHomeGlobal: Array[Int], hotHomeLocal: Array[Int])
+
+  /** One rank block per partition (public result shape). */
   final case class RankBlock(ids: Array[Long], pr: Array[Double])
 
   final case class PrGraph(
       csr: RDD[CsrBlock],
-      initRanks: RDD[RankBlock],               // every vertex at 0.3
-      sourceIds: RDD[Array[Long]],             // per-partition in-degree-0 vertices
+      verts: RDD[VertexMeta],
+      inIdx: RDD[Array[Array[Int]]],          // per partition: source block q -> local recv indices
+      hotIds: Array[Long],                     // globally sorted hot vertex ids
       numPartitions: Int,
       numEdges: Long,
-      numVertices: Long)
+      numVertices: Long) {
+    def unpersist(): Unit = {
+      csr.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+      inIdx.unpersist(blocking = false)
+    }
+  }
 
   private final class IdPartitioner(val n: Int) extends Partitioner {
     def numPartitions: Int = n
@@ -158,21 +215,75 @@ object GatherScatter {
     override def hashCode: Int = n
   }
 
-  /** Build the CSR blocks + static vertex blocks once — GraphMat's
-    * `ingestEdgelist` + DCSC tile build (`SpMat.h:97-278`). No sort: the ⊕
-    * is commutative, so dst order within a block is irrelevant; degree
-    * counting and src-indexing are single primitive passes. */
-  def build(graph: LinkGraph, numPartitions: Int = 0): PrGraph = {
-    val n = if (numPartitions > 0) numPartitions else graph.numPartitions
-    val part = new MixPartitioner(n)
+  /** Growable primitive pair builder for the per-tp edge lists. */
+  private final class IntPairBuf {
+    var a = new Array[Int](256); var b = new Array[Int](256); var m = 0
+    def add(x: Int, y: Int): Unit = {
+      if (m == a.length) {
+        a = java.util.Arrays.copyOf(a, m << 1)
+        b = java.util.Arrays.copyOf(b, m << 1)
+      }
+      a(m) = x; b(m) = y; m += 1
+    }
+    def trimA: Array[Int] = java.util.Arrays.copyOf(a, m)
+    def trimB: Array[Int] = java.util.Arrays.copyOf(b, m)
+  }
 
+  /**
+   * Build the static structures once. `hotDegree` <= 0 picks an automatic
+   * threshold (a src is "hot" when its edge list exceeds a quarter of an
+   * average partition — only then does splitting beat locality).
+   */
+  def build(graph: LinkGraph, numPartitions: Int = 0, hotDegree: Long = 0L): PrGraph = {
+    val n = if (numPartitions > 0) numPartitions else graph.numPartitions
+    val idPart = new IdPartitioner(n)
+    val sc = graph.edges.sparkSession.sparkContext
+
+    // build makes several passes (degree sweep, routing, receiver sweep);
+    // cache the raw pairs once so upstream lineage (parquet scan or the full
+    // transcript-extraction pipeline) is not recomputed per pass
     val edgePairs: RDD[(Long, Long)] = graph.edges.select("src", "dst").rdd
       .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val numEdges = graph.numEdges
+    val hotThreshold =
+      if (hotDegree > 0) hotDegree
+      else math.max(4096L, numEdges / n / 4)
 
-    val csr: RDD[CsrBlock] = edgePairs
-      .partitionBy(part)
+    // degree-aware split: find srcs whose out-degree exceeds the threshold.
+    // One aggregate job over the edges, tiny result (hub count is small by
+    // definition — if it weren't, the threshold would be wrong, so cap it).
+    val hotIds: Array[Long] = edgePairs
+      .map(e => (e._1, 1L)).reduceByKey(new MixPartitioner(n), _ + _)
+      .filter(_._2 > hotThreshold).map(_._1).collect().sorted
+    require(hotIds.length <= (1 << 20), s"hot-vertex list too large (${hotIds.length}); raise hotDegree")
+    val hotSet = new LongDoubleMap(math.max(hotIds.length, 8))
+    hotIds.zipWithIndex.foreach { case (id, i) => hotSet.put(id, i.toDouble) }
+    val hotBc = sc.broadcast(hotSet)
+    val nHot = hotIds.length
+
+    // global out-degree of each hot src (its edges are about to be scattered)
+    val hotDeg: Array[Double] =
+      if (nHot == 0) Array.emptyDoubleArray
+      else {
+        val m = edgePairs.filter(e => !hotBc.value.getOrNaN(e._1).isNaN)
+          .map(e => (e._1, 1L)).reduceByKey(_ + _).collect().toMap
+        hotIds.map(id => m(id).toDouble)
+      }
+    val hotDegBc = sc.broadcast(hotDeg)
+
+    // route: normal edges by src (edge list co-located with the src's rank),
+    // hot edges by dst (split across partitions, co-located with receivers)
+    val routed: RDD[(Long, Long)] = edgePairs
+      .map { e => (if (hotBc.value.getOrNaN(e._1).isNaN) e._1 else e._2, e) }
+      .partitionBy(new MixPartitioner(n))
+      .map(_._2)
+
+    val nLoc = n // plain local so closures don't capture the outer object
+    val csr: RDD[CsrBlock] = routed
       .mapPartitions({ it =>
+        val hot = hotBc.value
+        val hDeg = hotDegBc.value
         var capE = 1 << 12
         var srcA = new Array[Long](capE); var dstA = new Array[Long](capE); var m = 0
         while (it.hasNext) {
@@ -184,64 +295,290 @@ object GatherScatter {
           }
           srcA(m) = e._1; dstA(m) = e._2; m += 1
         }
+        // local (non-hot) srcs: all their edges are here, so local degree is global
         val degMap = new LongDoubleMap(1024)
         var i = 0
-        while (i < m) { degMap.addTo(srcA(i), 1.0); i += 1 }
+        while (i < m) {
+          if (hot.getOrNaN(srcA(i)).isNaN) degMap.addTo(srcA(i), 1.0)
+          i += 1
+        }
         val (srcs, degs) = degMap.toArrays
-        val idxMap = new LongDoubleMap(srcs.length) // value = index (exact in double)
+        val idxMap = new LongDoubleMap(math.max(srcs.length, 8)) // value = index (exact in double)
         i = 0
         while (i < srcs.length) { idxMap.put(srcs(i), i.toDouble); i += 1 }
         val invDeg = new Array[Double](srcs.length)
         i = 0
         while (i < srcs.length) { invDeg(i) = 1.0 / degs(i); i += 1 }
-        val eSrc = new Array[Int](m)
-        val eDst = java.util.Arrays.copyOf(dstA, m)
+
+        // per-target-partition unique-dst tables + packed edge lists
+        val nTp = nLoc
+        val outMap = new Array[LongDoubleMap](nTp) // dst -> outIdx
+        val outList = new Array[Array[Long]](nTp)
+        val outLen = new Array[Int](nTp)
+        val ebuf = new Array[IntPairBuf](nTp)
+        val hbuf = new IntPairBuf
+        // local hot srcs (hot srcs with shard edges in this partition)
+        val hotLocMap = new LongDoubleMap(64) // hot id -> local hot idx
+        var hotLocIdx = new Array[Int](16); var nHotLoc = 0
+
+        @inline def outIdxOf(tp: Int, dst: Long): Int = {
+          var om = outMap(tp)
+          if (om == null) {
+            om = new LongDoubleMap(256); outMap(tp) = om
+            outList(tp) = new Array[Long](256); ebuf(tp) = new IntPairBuf
+          }
+          val got = om.getOrNaN(dst)
+          if (!got.isNaN) got.toInt
+          else {
+            val idx = outLen(tp)
+            om.put(dst, idx.toDouble)
+            if (idx == outList(tp).length)
+              outList(tp) = java.util.Arrays.copyOf(outList(tp), idx << 1)
+            outList(tp)(idx) = dst
+            outLen(tp) = idx + 1
+            idx
+          }
+        }
+
         i = 0
-        while (i < m) { eSrc(i) = idxMap.getOrNaN(srcA(i)).toInt; i += 1 }
-        Iterator.single(CsrBlock(srcs, invDeg, eSrc, eDst))
+        while (i < m) {
+          val s = srcA(i); val d = dstA(i)
+          val tp = partOf(d, nTp)
+          val gHot = hot.getOrNaN(s)
+          if (gHot.isNaN) {
+            val oi = outIdxOf(tp, d) // creates the bucket (incl. ebuf) if new
+            ebuf(tp).add(idxMap.getOrNaN(s).toInt, oi)
+          } else {
+            // hot edge: routed here by dst, so tp == this partition
+            val g = gHot.toInt
+            var loc = hotLocMap.getOrNaN(s)
+            if (loc.isNaN) {
+              if (nHotLoc == hotLocIdx.length)
+                hotLocIdx = java.util.Arrays.copyOf(hotLocIdx, nHotLoc << 1)
+              hotLocIdx(nHotLoc) = g
+              hotLocMap.put(s, nHotLoc.toDouble)
+              loc = nHotLoc.toDouble
+              nHotLoc += 1
+            }
+            hbuf.add(loc.toInt, outIdxOf(tp, d))
+          }
+          i += 1
+        }
+        val outIds = Array.tabulate(nTp)(tp =>
+          if (outList(tp) == null) null
+          else java.util.Arrays.copyOf(outList(tp), outLen(tp)))
+        val eSrc = Array.tabulate(nTp)(tp => if (ebuf(tp) == null) null else ebuf(tp).trimA)
+        val eOut = Array.tabulate(nTp)(tp => if (ebuf(tp) == null) null else ebuf(tp).trimB)
+        val hLoc = java.util.Arrays.copyOf(hotLocIdx, nHotLoc)
+        Iterator.single(CsrBlock(
+          srcs, invDeg, outIds, eSrc, eOut,
+          hLoc, hLoc.map(g => 1.0 / hDeg(g)),
+          hbuf.trimA, hbuf.trimB))
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     csr.count()
 
-    // receivers (distinct dst) per partition, partition-locally deduped —
-    // src and dst copies of a vertex hash to the SAME partition
+    // receivers (distinct dst) per partition — dst copies hash to the same
+    // partition as the dst's rank home
     val recv: RDD[Array[Long]] = edgePairs.map(e => (e._2, null))
-      .partitionBy(part)
+      .partitionBy(new MixPartitioner(n))
       .mapPartitions({ it =>
         val s = new LongDoubleMap(1024)
         while (it.hasNext) s.put(it.next()._1, 0.0)
         Iterator.single(s.toArrays._1)
       }, preservesPartitioning = true)
 
-    // vertex set = srcs ∪ receivers; in-degree-0 set = srcs \ receivers
-    val vertBlocks: RDD[(RankBlock, Array[Long])] =
-      csr.zipPartitions(recv, preservesPartitioning = true) { (cIt, rIt) =>
-        val blk = cIt.next(); val rv = rIt.next()
-        val set = new LongDoubleMap(blk.srcs.length + rv.length)
+    // hot srcs are vertices of their HOME partition even when their edges
+    // were scattered elsewhere
+    val hotHomeRdd: RDD[Array[Long]] = sc
+      .parallelize(hotIds.map(id => (id, null: Null)).toSeq, math.max(n / 4, 1))
+      .partitionBy(new MixPartitioner(n))
+      .mapPartitions(it => Iterator.single(it.map(_._1).toArray),
+        preservesPartitioning = true)
+
+    // vertex layout: receivers first [0, nRecv), then src-only vertices
+    val verts: RDD[VertexMeta] =
+      csr.zipPartitions(recv, hotHomeRdd, preservesPartitioning = true) { (cIt, rIt, hIt) =>
+        val blk = cIt.next(); val rv = rIt.next(); val hh = hIt.next()
+        val hot = hotBc.value
+        val pos = new LongDoubleMap(blk.srcs.length + rv.length + hh.length)
+        val ids = new Array[Long](blk.srcs.length + rv.length + hh.length)
+        var k = 0
         var i = 0
-        while (i < rv.length) { set.put(rv(i), 1.0); i += 1 } // 1.0 = receiver
-        var nSrcOnly = 0
-        i = 0
-        while (i < blk.srcs.length) {
-          if (java.lang.Double.isNaN(set.getOrNaN(blk.srcs(i)))) nSrcOnly += 1
-          i += 1
-        }
-        val srcOnly = new Array[Long](nSrcOnly)
-        var j = 0
+        while (i < rv.length) { pos.put(rv(i), k.toDouble); ids(k) = rv(i); k += 1; i += 1 }
+        val nRecv = k
         i = 0
         while (i < blk.srcs.length) {
           val s = blk.srcs(i)
-          if (java.lang.Double.isNaN(set.getOrNaN(s))) { srcOnly(j) = s; j += 1; set.put(s, 0.0) }
+          if (pos.getOrNaN(s).isNaN) { pos.put(s, k.toDouble); ids(k) = s; k += 1 }
           i += 1
         }
-        val (ids, _) = set.toArrays
-        Iterator.single((RankBlock(ids, Array.fill(ids.length)(0.3)), srcOnly))
+        i = 0
+        while (i < hh.length) {
+          val s = hh(i)
+          if (pos.getOrNaN(s).isNaN) { pos.put(s, k.toDouble); ids(k) = s; k += 1 }
+          i += 1
+        }
+        val idsT = java.util.Arrays.copyOf(ids, k)
+        val srcPrIdx = new Array[Int](blk.srcs.length)
+        i = 0
+        while (i < blk.srcs.length) { srcPrIdx(i) = pos.getOrNaN(blk.srcs(i)).toInt; i += 1 }
+        // locate hot vertices homed here (for the mirror broadcast)
+        val hg = new Array[Int](hh.length); val hl = new Array[Int](hh.length)
+        i = 0
+        while (i < hh.length) {
+          hg(i) = hot.getOrNaN(hh(i)).toInt
+          hl(i) = pos.getOrNaN(hh(i)).toInt
+          i += 1
+        }
+        Iterator.single(VertexMeta(idsT, nRecv, srcPrIdx, hg, hl))
       }.persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
 
-    val initRanks: RDD[RankBlock] = vertBlocks.map(_._1)
-    val sourceIds: RDD[Array[Long]] = vertBlocks.map(_._2)
-    val nV = vertBlocks.map(_._1.ids.length.toLong).sum().toLong
-    PrGraph(csr, initRanks, sourceIds, n, numEdges, nV)
+    // static incoming-index table: for each source block q, where each slot of
+    // q's outIds(p) lands in p's dense accumulator. Built with ONE exchange of
+    // the id arrays; per-superstep shuffles then carry doubles only.
+    val outMeta: RDD[(Int, (Int, Array[Long]))] = csr.mapPartitionsWithIndex {
+      (p, it) =>
+        val blk = it.next()
+        Iterator.range(0, blk.outIds.length)
+          .filter(tp => blk.outIds(tp) != null)
+          .map(tp => (tp, (p, blk.outIds(tp))))
+    }
+    val inIdx: RDD[Array[Array[Int]]] = outMeta
+      .partitionBy(idPart)
+      .zipPartitions(verts, preservesPartitioning = true) { (mIt, vIt) =>
+        val vm = vIt.next()
+        val pos = new LongDoubleMap(math.max(vm.nRecv, 8))
+        var i = 0
+        while (i < vm.nRecv) { pos.put(vm.ids(i), i.toDouble); i += 1 }
+        val arr = new Array[Array[Int]](nLoc)
+        while (mIt.hasNext) {
+          val (_, (q, ids)) = mIt.next()
+          val a = new Array[Int](ids.length)
+          var j = 0
+          while (j < ids.length) { a(j) = pos.getOrNaN(ids(j)).toInt; j += 1 }
+          arr(q) = a
+        }
+        Iterator.single(arr)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    inIdx.count()
+
+    val nV = verts.map(_.ids.length.toLong).sum().toLong
+    edgePairs.unpersist(blocking = false)
+    PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV)
+  }
+
+  /** Dense rank vectors, one Array[Double] per partition, aligned to VertexMeta.ids. */
+  private def initRanks(g: PrGraph): RDD[Array[Double]] =
+    g.verts.mapPartitions(it => Iterator.single(Array.fill(it.next().ids.length)(0.3)),
+      preservesPartitioning = true)
+
+  /** Collect hot-vertex ranks (tiny) and broadcast — the per-superstep mirror. */
+  private def hotMirror(g: PrGraph, ranks: RDD[Array[Double]]): Array[Double] = {
+    if (g.hotIds.isEmpty) return Array.emptyDoubleArray
+    val pairs = ranks.zipPartitions(g.verts) { (rIt, vIt) =>
+      val pr = rIt.next(); val vm = vIt.next()
+      Iterator.range(0, vm.hotHomeGlobal.length)
+        .map(i => (vm.hotHomeGlobal(i), pr(vm.hotHomeLocal(i))))
+    }.collect()
+    val arr = new Array[Double](g.hotIds.length)
+    pairs.foreach { case (gIdx, v) => arr(gIdx) = v }
+    arr
+  }
+
+  /** The gather (⊗ + per-target pre-sum ⊕): emits (targetPartition,
+    * (sourcePartition, packed partial sums aligned to outIds)). */
+  private def gatherPhase(ranks: RDD[Array[Double]], g: PrGraph,
+                          hotPr: Broadcast[Array[Double]]): RDD[(Int, (Int, Array[Double]))] =
+    ranks.zipPartitions(g.csr, g.verts, preservesPartitioning = false) { (rIt, cIt, vIt) =>
+      val pr = rIt.next(); val blk = cIt.next(); val vm = vIt.next()
+      val p = TaskContext.getPartitionId()
+      val nS = blk.srcs.length
+      val contrib = new Array[Double](nS)
+      var i = 0
+      while (i < nS) {
+        contrib(i) = pr(vm.srcPrIdx(i)) * blk.invDeg(i)
+        i += 1
+      }
+      val out = new Array[Array[Double]](blk.outIds.length)
+      var tp = 0
+      while (tp < blk.outIds.length) {
+        val ids = blk.outIds(tp)
+        if (ids != null) {
+          val vals = new Array[Double](ids.length)
+          val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
+          var e = 0
+          while (e < es.length) { vals(eo(e)) += contrib(es(e)); e += 1 }
+          out(tp) = vals
+        }
+        tp += 1
+      }
+      // hot-shard edges: contrib from the broadcast mirror; target bucket is
+      // this partition itself (they were routed here by dst)
+      if (blk.hotEdgeSrcIdx.length > 0) {
+        val hp = hotPr.value
+        val hc = new Array[Double](blk.hotLocal.length)
+        i = 0
+        while (i < hc.length) {
+          hc(i) = hp(blk.hotLocal(i)) * blk.hotLocalInvDeg(i)
+          i += 1
+        }
+        if (out(p) == null) out(p) = new Array[Double](
+          if (blk.outIds(p) == null) 0 else blk.outIds(p).length)
+        val vals = out(p)
+        val hs = blk.hotEdgeSrcIdx; val ho = blk.hotEdgeOutIdx
+        var e = 0
+        while (e < hs.length) { vals(ho(e)) += hc(hs(e)); e += 1 }
+      }
+      Iterator.range(0, out.length).filter(out(_) != null).map(tp => (tp, (p, out(tp))))
+    }
+
+  /** One superstep: gather → all-to-all → dense apply. Returns the new rank
+    * vectors and (when `tol` >= 0) counts vertices that moved more than tol. */
+  private def superstep(g: PrGraph, ranks: RDD[Array[Double]], alpha: Double,
+                        tol: Double,
+                        changedAcc: Option[org.apache.spark.util.LongAccumulator])
+  : RDD[Array[Double]] = {
+    val sc = ranks.sparkContext
+    val idPart = new IdPartitioner(g.numPartitions)
+    // mirror broadcast only when hubs exist; null is never dereferenced then
+    // (no partition holds hot-shard edges)
+    val hotPr: Broadcast[Array[Double]] =
+      if (g.hotIds.isEmpty) null else sc.broadcast(hotMirror(g, ranks))
+    val exchanged = gatherPhase(ranks, g, hotPr).partitionBy(idPart)
+    exchanged.zipPartitions(g.inIdx, g.verts, ranks, preservesPartitioning = true) {
+      (pIt, iIt, vIt, oIt) =>
+        val inIdx = iIt.next(); val vm = vIt.next(); val old = oIt.next()
+        val acc = new Array[Double](vm.nRecv)
+        while (pIt.hasNext) {
+          val (_, (q, vals)) = pIt.next()
+          val idx = inIdx(q)
+          var i = 0
+          while (i < vals.length) { acc(idx(i)) += vals(i); i += 1 }
+        }
+        val nV = vm.ids.length
+        val newPr = new Array[Double](nV)
+        var changed = 0L
+        var i = 0
+        while (i < vm.nRecv) {
+          val v = alpha + (1.0 - alpha) * acc(i)
+          newPr(i) = v
+          if (tol >= 0 && math.abs(v - old(i)) > tol) changed += 1
+          i += 1
+        }
+        while (i < nV) { newPr(i) = old(i); i += 1 } // in-degree-0: never receive
+        changedAcc.foreach(_.add(changed))
+        Iterator.single(newPr)
+    }
+  }
+
+  private def materialize(g: PrGraph, ranks: RDD[Array[Double]]): RDD[RankBlock] = {
+    val out = ranks.zipPartitions(g.verts, preservesPartitioning = true) { (rIt, vIt) =>
+      Iterator.single(RankBlock(vIt.next().ids, rIt.next()))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
   }
 
   /**
@@ -252,42 +589,26 @@ object GatherScatter {
    */
   def pageRank(g: PrGraph, alpha: Double, iterations: Int,
                checkpointEvery: Int = 25): RDD[RankBlock] = {
-    val n = g.numPartitions
-    val idPart = new IdPartitioner(n)
-    var ranks = g.initRanks
-    var prev: Option[RDD[RankBlock]] = None
+    var ranks = initRanks(g).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var prev = ranks
     var it = 0
+    val iterLog = sys.env.contains("SPARK_GRAFT_ITERLOG")
     while (it < iterations) {
-      // gather: pr[src]·invDeg[src] → per-target-partition primitive
-      // accumulators; scatter: one all-to-all of packed arrays (≤ n×n records)
-      val exchanged = gatherPhase(ranks, g, alpha, n).partitionBy(idPart)
-      val newRanks = exchanged.zipPartitions(g.sourceIds, preservesPartitioning = true) {
-        (pIt, sIt) =>
-          val acc = new LongDoubleMap(1024)
-          while (pIt.hasNext) {
-            val (_, (ks, vs)) = pIt.next()
-            var i = 0
-            while (i < ks.length) { acc.addTo(ks(i), vs(i)); i += 1 }
-          }
-          val srcOnly = sIt.next()
-          val (ks, vs) = acc.toArrays
-          val m = ks.length + srcOnly.length
-          val ids = new Array[Long](m)
-          val prs = new Array[Double](m)
-          var i = 0
-          while (i < ks.length) { ids(i) = ks(i); prs(i) = alpha + (1.0 - alpha) * vs(i); i += 1 }
-          var j = 0
-          while (j < srcOnly.length) { ids(i) = srcOnly(j); prs(i) = 0.3; i += 1; j += 1 }
-          Iterator.single(RankBlock(ids, prs))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      val t0 = if (iterLog) System.nanoTime() else 0L
+      val newRanks = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       if ((it + 1) % checkpointEvery == 0) newRanks.localCheckpoint()
       newRanks.count()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(newRanks)
+      if (iterLog) println(f"[iter] superstep $it: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      prev.unpersist(blocking = false)
+      prev = newRanks
       ranks = newRanks
       it += 1
     }
-    ranks
+    val out = materialize(g, ranks)
+    ranks.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -299,86 +620,26 @@ object GatherScatter {
   def pageRankConverged(g: PrGraph, alpha: Double = 0.3, tol: Double = 1e-5,
                         maxIterations: Int = 200): (RDD[RankBlock], Int) = {
     val sc = g.csr.sparkContext
-    val n = g.numPartitions
-    val idPart = new IdPartitioner(n)
-    var ranks = g.initRanks
-    var prev: Option[RDD[RankBlock]] = None
+    var ranks = initRanks(g).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var prev = ranks
     var it = 0
     var converged = false
     while (!converged && it < maxIterations) {
       val changedAcc = sc.longAccumulator(s"changed-$it")
-      val packed = gatherPhase(ranks, g, alpha, n)
-      val exchanged = packed.partitionBy(idPart)
-      val newRanks = exchanged
-        .zipPartitions(g.sourceIds, ranks, preservesPartitioning = true) { (pIt, sIt, oldIt) =>
-          val old = oldIt.next()
-          val oldPr = new LongDoubleMap(old.ids.length)
-          var i = 0
-          while (i < old.ids.length) { oldPr.put(old.ids(i), old.pr(i)); i += 1 }
-          val acc = new LongDoubleMap(1024)
-          while (pIt.hasNext) {
-            val (_, (ks, vs)) = pIt.next()
-            var j = 0
-            while (j < ks.length) { acc.addTo(ks(j), vs(j)); j += 1 }
-          }
-          val srcOnly = sIt.next()
-          val (ks, vs) = acc.toArrays
-          val m = ks.length + srcOnly.length
-          val ids = new Array[Long](m)
-          val prs = new Array[Double](m)
-          var changed = 0L
-          i = 0
-          while (i < ks.length) {
-            ids(i) = ks(i)
-            prs(i) = alpha + (1.0 - alpha) * vs(i)
-            if (math.abs(prs(i) - oldPr.getOrNaN(ks(i))) > tol) changed += 1
-            i += 1
-          }
-          var j = 0
-          while (j < srcOnly.length) { ids(i) = srcOnly(j); prs(i) = 0.3; i += 1; j += 1 }
-          changedAcc.add(changed)
-          Iterator.single(RankBlock(ids, prs))
-        }.persist(StorageLevel.MEMORY_AND_DISK)
+      val newRanks = superstep(g, ranks, alpha, tol, Some(changedAcc))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       newRanks.count()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(newRanks)
+      prev.unpersist(blocking = false)
+      prev = newRanks
       ranks = newRanks
       it += 1
       converged = changedAcc.value == 0L
     }
-    (ranks, it)
+    val out = materialize(g, ranks)
+    ranks.unpersist(blocking = false)
+    (out, it)
   }
-
-  /** The gather (⊗ + thread-local ⊕) shared by both PageRank drivers. */
-  private def gatherPhase(ranks: RDD[RankBlock], g: PrGraph, alpha: Double,
-                          n: Int): RDD[(Int, (Array[Long], Array[Double]))] =
-    ranks.zipPartitions(g.csr, preservesPartitioning = false) { (rIt, cIt) =>
-      val blk = cIt.next()
-      val rb = rIt.next()
-      val prOf = new LongDoubleMap(rb.ids.length)
-      var i = 0
-      while (i < rb.ids.length) { prOf.put(rb.ids(i), rb.pr(i)); i += 1 }
-      val contrib = new Array[Double](blk.srcs.length)
-      i = 0
-      while (i < blk.srcs.length) {
-        contrib(i) = prOf.getOrNaN(blk.srcs(i)) * blk.invDeg(i)
-        i += 1
-      }
-      val accs = Array.fill(n)(null: LongDoubleMap)
-      var e = 0
-      val nE = blk.edgeDst.length
-      while (e < nE) {
-        val c = contrib(blk.edgeSrcIdx(e))
-        if (!java.lang.Double.isNaN(c)) {
-          val d = blk.edgeDst(e)
-          val tp = { val h = (mix(d) % n).toInt; if (h < 0) h + n else h }
-          if (accs(tp) == null) accs(tp) = new LongDoubleMap(64)
-          accs(tp).addTo(d, c)
-        }
-        e += 1
-      }
-      (0 until n).iterator.filter(accs(_) != null).map(tp => (tp, accs(tp).toArrays))
-    }
 
   /** DataFrame view of the final ranks (conformance tests / sinks). */
   def toDF(spark: SparkSession, ranks: RDD[RankBlock]): DataFrame = {

@@ -111,7 +111,7 @@ object Superstep {
     val state = spark.read.parquet(s"${cp.dir}/${cp.runId}/iter=$iter/state")
     // carry forward the pre-crash iteration history so metrics.jsonl stays complete
     val mPath = Paths.get(cp.dir, cp.runId, "metrics.jsonl")
-    val lineRe = """\{"iteration":(\d+),"changed":(\d+),"millis":(\d+)\}""".r
+    val lineRe = """\{"iteration":(\d+),"changed":(-?\d+),"millis":(\d+)\}""".r
     val prior =
       if (Files.exists(mPath)) {
         import scala.jdk.CollectionConverters._
@@ -130,6 +130,8 @@ object Superstep {
     val stateCols = init.columns.toSeq
     require(stateCols.contains("id") && stateCols.contains("active"),
       s"state needs id+active, got $stateCols")
+    require(spec.maxIterations >= 0 || spec.trackChanges,
+      "trackChanges=false with maxIterations<0 can never converge (the changed count is the only stop rule)")
 
     // AQE re-plans and re-compiles codegen for every superstep's jobs, which
     // at graph scale costs more than it saves (measured ~2x per-superstep
@@ -137,6 +139,7 @@ object Superstep {
     val spark = init.sparkSession
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
 
     // `cached` is always the exact DataFrame persist() was called on (the
     // only handle unpersist() frees); `state` may be a cheap projection of it.
@@ -207,8 +210,12 @@ object Superstep {
         case _ => // durable snapshots only at the configured cadence
       }
     }
-    spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     RunResult(state, iter - startIteration, converged, metrics.toSeq)
+    } finally {
+      // exception-safe: a failed superstep must not leave the whole session
+      // with AQE off (the toggle is loop-scoped, not session-scoped)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
   }
 
   /** Join messages through the edge table toward the receiver — the SpMV

@@ -50,6 +50,8 @@ object Dedup {
    * are near-dup candidates. Returns (band, bucket, id).
    */
   def lshBands(sig: DataFrame, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes); a remainder would silently change the LSH sensitivity curve")
     val rows = numHashes / bands
     sig.withColumn("band", (col("h") / rows).cast("int"))
       .groupBy("id", "band")

@@ -79,6 +79,90 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---------------- banded multi-table LSH (the 100 TB path) ----------------
+  //
+  // Round-1's single-table LSH collapsed every vector into 2^planes global
+  // buckets — at corpus scale each bucket is a constant fraction of the data
+  // and the in-bucket join is quadratic. The banded scheme fixes both knobs
+  // independently: `bands` hash tables (union of candidates → recall), each
+  // keyed by `planes` sign bits (bucket granularity → precision), plus a
+  // per-bucket size cap like Dedup.lshCandidates (hot-bucket guard; capped
+  // drops are a documented recall tradeoff, not a silent crash).
+  //
+  // Hyperplane sums run over 1e-3-QUANTIZED components: exact integer
+  // arithmetic, so the sign is order-independent and bit-identical in any
+  // engine (the DuckDB twin replays it) — a double-precision dot would flip
+  // boundary signs between engines.
+
+  /** ±1 sign for (band, plane, dim) from one md5 hex digit parity. */
+  private def signOf(band: Int, p: Int, d: Column): Column = {
+    val digit = instr(lit("0123456789abcdef"),
+      substring(md5(concat_ws(":", lit(band), lit(p), d.cast("string"))), 1, 1)) - 1
+    when(digit % 2 === 0, 1L).otherwise(-1L)
+  }
+
+  /** One band's bucket id: `planes` sign bits of integer hyperplane sums. */
+  def bandBucket(vec: Column, band: Int, planes: Int): Column = {
+    val q = transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+    (0 until planes).map { p =>
+      val s = aggregate(zip_with(q, sequence(lit(0), size(vec) - 1),
+        (x, i) => x * signOf(band, p, i)), lit(0L), _ + _)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** (id, vec, band, bucket) — one row per band per vector. */
+  def bandedSignatures(vecs: DataFrame, bands: Int, planes: Int): DataFrame =
+    vecs.select(col("id"), col("vec"),
+      posexplode(array((0 until bands).map(b =>
+        bandBucket(col("vec"), b, planes)): _*)).as(Seq("band", "bucket")))
+
+  /** Candidate pairs (a<b) sharing any band bucket, with per-bucket size cap. */
+  def bandedCandidates(vecs: DataFrame, bands: Int, planes: Int,
+                       maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = bandedSignatures(vecs, bands, planes)
+      .withColumn("bsz", count("*").over(w))
+      .filter(col("bsz") <= maxBucket)
+    val l = sized.select(col("band"), col("bucket"), col("id").as("a"), col("vec").as("va"))
+    val r = sized.select(col("band"), col("bucket"), col("id").as("b"), col("vec").as("vb"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b", "va", "vb").dropDuplicates("a", "b")
+  }
+
+  /** Near-duplicate pairs via banded LSH candidates + exact cosine re-check.
+    * The scale path for `cosineNearDup`: candidate generation is bucketed
+    * (bands × capped buckets), never an all-pairs join. */
+  def lshNearDup(vecs: DataFrame, threshold: Double, bands: Int = 16,
+                 planes: Int = 2, maxBucket: Int = 500): DataFrame =
+    bandedCandidates(vecs, bands, planes, maxBucket)
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")) + 1e-9, 6).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** ANN top-k via banded LSH: per-band shared-bucket candidates, unioned
+    * across bands, exactly re-ranked. Recall is tuned by (bands, planes);
+    * measured ≥0.9 @k=5 on the test embeddings (PipelineSpec). */
+  def lshBandedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    bands: Int = 16, planes: Int = 2,
+                    maxBucket: Int = 500): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val cSig = bandedSignatures(corpus, bands, planes)
+      .withColumn("bsz", count("*").over(w))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bucket"), col("id").as("neighbor_id"), col("vec").as("cv"))
+    val qSig = bandedSignatures(queries, bands, planes)
+      .select(col("band"), col("bucket"), col("id").as("query_id"), col("vec").as("qv"))
+    val cand = qSig.join(cSig, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qv"), col("cv")) + 1e-9, 6).as("cos"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold on the
     * rounded value). Brute-force over a sampled/bucketed pair set. */
   def cosineNearDup(vecs: DataFrame, threshold: Double): DataFrame = {

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.{DeltaPageRank, DeltaStepping, Lda, Sgd}
+import graft.core.{DenseRank, LinkGraph}
+
+/**
+ * Driver-gate coverage for the four algorithms that round 1 left sbt-only:
+ * DeltaPageRank, DeltaStepping, SGD and LDA, each with an exact DuckDB twin.
+ *
+ * The iterative runs use md5-derived randomness (SGD/LDA init) so DuckDB can
+ * replay them bit-compatibly, fixed iteration counts where the reference
+ * main uses them, and bounded-diameter inputs (bucket chains / bipartite
+ * tables) so the unrolled or closed-form SQL stays exact.
+ */
+object AdvancedQueries {
+  import EventGraph._
+
+  private def minVertex(g: LinkGraph): Long =
+    g.vertices.agg(min("id")).head().getLong(0)
+
+  /** Bipartite rating graph from events: user → event-type item, weight =
+    * interaction count (exact integer, so both engines agree bit-for-bit). */
+  private def ratingGraph(s: SparkSession, dir: String): LinkGraph = {
+    val ev = events(s, dir)
+    val items = DenseRank
+      .denseOrdBy(ev.select("event_type").distinct(), "iord", col("event_type"))
+      .select(col("event_type"), (lit(2000000000L) + col("iord")).as("item"))
+    val r = ev.join(items, "event_type")
+      .groupBy(col("user_id").as("src"), col("item").as("dst"))
+      .agg(count("*").cast("double").as("weight"))
+    LinkGraph(r)
+  }
+
+  /** Bipartite doc→term graph over the documents table, weight = term count.
+    * Term ids offset to 1e6 so the reference's id-threshold type rule
+    * (`LDA.cpp:276-285`) applies. */
+  private def docTermGraph(s: SparkSession, dir: String): (LinkGraph, DataFrame) = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy("doc_id", "w").agg(count("*").cast("double").as("weight"))
+    val words = DenseRank.denseOrdBy(counts.select("w").distinct(), "word", col("w"))
+      .select(col("w"), (lit(1000000L) + col("word")).as("wid"))
+    val edges = counts.join(words, "w")
+      .select(col("doc_id").as("src"), col("wid").as("dst"), col("weight"))
+    val g = LinkGraph(edges)
+    (g, Lda.typesByThreshold(g, 999999L))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental PageRank to convergence on the bucket chains — a chain
+    // position k converges to exactly 1 - 0.7^(k+1), the closed form the
+    // oracle replays.
+    "g_deltapr" -> ((s, dir) =>
+      DeltaPageRank.run(bucketGraph(s, dir))
+        .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))),
+
+    // DeltaStepping SSSP (light/heavy split at delta=512, shared state);
+    // distances equal the SSSP prefix sums, bucket = floor(dist/delta).
+    "g_deltastep" -> ((s, dir) => {
+      val g = bucketGraph(s, dir)
+      val (st, _) = DeltaStepping.run(g, minVertex(g), delta = 512.0)
+      st.filter(col("dist") =!= Double.PositiveInfinity)
+        .select(col("id"), round(col("dist") + 1e-9, 6).as("dist"), col("bucket"))
+    }),
+
+    // SGD matrix factorization, 2 fixed iterations, md5 init, step/lambda
+    // scaled so the updates are visible at 4 decimals.
+    "g_sgd" -> ((s, dir) => {
+      val g = ratingGraph(s, dir)
+      Sgd.run(g, iterations = 2, lambda = 0.05, step = 0.001,
+          initState = Sgd.md5Init(g))
+        .state.select(col("id"), posexplode(col("lv")).as(Seq("k", "v")))
+        .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
+    }),
+
+    // LDA, 2 fixed iterations over the doc-term graph, md5 gamma init.
+    "g_lda" -> ((s, dir) => {
+      val (g, types) = docTermGraph(s, dir)
+      Lda.run(g, types, iterations = 2, gammaFn = Lda.gamma0Md5)
+        .select(col("id"), posexplode(col("n")).as(Seq("k", "v")))
+        .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
+    })
+  )
+
+  // ---------- DuckDB oracle twins ----------
+
+  /** First 8 hex digits of an md5 → uniform [0,1): every term is an exact
+    * integer in double, so the sum is order-independent — bit-identical to
+    * Spark's conv(substring(md5(...),1,8),16,10)/2^32. */
+  private def hexU(hexExpr: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}.0")
+      .mkString("(", " + ", ") / 4294967296.0")
+
+  private val sgdIter: Int => String = n =>
+    s"""est$n AS (
+       |  SELECT r.u, r.i, r.w, sum(a.v * b.v) AS est
+       |  FROM r JOIN lv${n - 1} a ON a.id = r.u JOIN lv${n - 1} b ON b.id = r.i AND b.k = a.k
+       |  GROUP BY 1, 2, 3),
+       |c$n AS (
+       |  SELECT id, k, sum(s) AS s FROM (
+       |    SELECT e.u AS id, b.k, b.v * (e.w - e.est) AS s
+       |    FROM est$n e JOIN lv${n - 1} b ON b.id = e.i
+       |    UNION ALL
+       |    SELECT e.i, a.k, a.v * (e.w - e.est)
+       |    FROM est$n e JOIN lv${n - 1} a ON a.id = e.u) t
+       |  GROUP BY 1, 2),
+       |lv$n AS (
+       |  SELECT l.id, l.k,
+       |         CASE WHEN c.s IS NULL THEN l.v
+       |              ELSE l.v + 0.001 * (-0.05 * l.v + c.s) END AS v
+       |  FROM lv${n - 1} l LEFT JOIN c$n c ON c.id = l.id AND c.k = l.k)""".stripMargin
+
+  private val ldaIter: Int => String = n =>
+    s"""gn$n AS (SELECT k, sum(n) AS g FROM s${n - 1} WHERE id >= 1000000 GROUP BY 1),
+       |gm$n AS (
+       |  SELECT p.r, p.m, p.wt, sr.k,
+       |    ((sr.n + CASE WHEN p.r < 1000000 THEN 1.0 ELSE 5.0 END - 1) *
+       |     (sm.n + CASE WHEN p.r < 1000000 THEN 5.0 ELSE 1.0 END - 1)) /
+       |    (g.g + (SELECT v FROM vv) * 4.0) AS gamma
+       |  FROM pr p
+       |  JOIN s${n - 1} sr ON sr.id = p.r
+       |  JOIN s${n - 1} sm ON sm.id = p.m AND sm.k = sr.k
+       |  JOIN gn$n g ON g.k = sr.k),
+       |s$n AS (
+       |  SELECT r AS id, k, sum(gamma / gs * wt) AS n FROM (
+       |    SELECT *, sum(gamma) OVER (PARTITION BY r, m) AS gs FROM gm$n) t
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "g_deltapr" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id,
+        |  round(1 - pow(0.7, rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1) + 1e-9, 6) AS pr
+        |FROM mrn""".stripMargin),
+
+    "g_deltastep" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
+        |wv AS (SELECT m.id, m.user_id, m.bkt, m.rn, 1.0 + abs(b.value) AS wgt
+        |       FROM mrn m JOIN base b ON b.event_id = m.id),
+        |cum AS (SELECT *, sum(wgt) OVER (PARTITION BY user_id, bkt ORDER BY rn) AS c FROM wv),
+        |s0 AS (SELECT * FROM cum WHERE id = (SELECT min(id) FROM cum))
+        |SELECT m.id, round(m.c - s0.c + 1e-9, 6) AS dist,
+        |       CAST(floor((m.c - s0.c) / 512.0) AS BIGINT) AS bucket
+        |FROM cum m, s0
+        |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
+
+    "g_sgd" ->
+      s"""WITH items AS (
+         |  SELECT event_type, 2000000000 + row_number() OVER (ORDER BY event_type) - 1 AS item
+         |  FROM (SELECT DISTINCT event_type FROM events) q),
+         |r AS (
+         |  SELECT user_id AS u, item AS i, CAST(count(*) AS DOUBLE) AS w
+         |  FROM events JOIN items USING (event_type) GROUP BY 1, 2),
+         |verts AS (SELECT u AS id FROM r UNION SELECT i FROM r),
+         |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
+         |lv0 AS (
+         |  SELECT id, k, ${hexU("md5(id || ':' || k)")} AS v
+         |  FROM verts CROSS JOIN ks),
+         |${sgdIter(1)},
+         |${sgdIter(2)}
+         |SELECT id, k, round(v + 1e-9, 4) AS v FROM lv2""".stripMargin,
+
+    "g_lda" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS d, w, CAST(count(*) AS DOUBLE) AS wt
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY 1, 2),
+         |words AS (
+         |  SELECT w, 1000000 + row_number() OVER (ORDER BY w) - 1 AS wid
+         |  FROM (SELECT DISTINCT w FROM toks) q),
+         |e AS (SELECT d AS src, wid AS dst, wt FROM toks JOIN words USING (w)),
+         |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
+         |vv AS (SELECT count(*) AS v FROM words),
+         |gam AS (
+         |  SELECT wt, k, ${hexU("md5(CAST(wt AS BIGINT) || ':' || k)")} AS g
+         |  FROM (SELECT DISTINCT wt FROM e) q CROSS JOIN ks),
+         |gamn AS (SELECT wt, k, g / sum(g) OVER (PARTITION BY wt) AS gn FROM gam),
+         |pairs0 AS (SELECT src AS id, wt FROM e UNION ALL SELECT dst, wt FROM e),
+         |s0 AS (
+         |  SELECT p.id, g.k, sum(g.gn * p.wt) AS n
+         |  FROM pairs0 p JOIN gamn g ON g.wt = p.wt GROUP BY 1, 2),
+         |pr AS (SELECT src AS r, dst AS m, wt FROM e UNION ALL SELECT dst, src, wt FROM e),
+         |${ldaIter(1)},
+         |${ldaIter(2)}
+         |SELECT id, k, round(n + 1e-9, 4) AS v FROM s2""".stripMargin
+  )
+}

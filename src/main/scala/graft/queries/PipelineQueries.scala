@@ -46,9 +46,13 @@ object PipelineQueries {
     }),
 
     "d_embed_neardup" -> ((s, dir) => {
+      // the scale path: banded-LSH candidates (capped buckets, never an
+      // all-pairs join) + exact cosine re-check; the oracle replays the
+      // banding bit-for-bit (integer quantized hyperplane sums)
       val v = vecs(s, dir).filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.cosineNearDup(v, 0.35)
+      Similarity.lshNearDup(v, 0.35, bands = 16, planes = 2, maxBucket = 500)
+        .select("a", "b", "cos")
     }),
 
     "s_ann_topk" -> ((s, dir) => {
@@ -129,7 +133,7 @@ object PipelineQueries {
         |         sum((CAST(floor(digit / pow(2, 3 - j % 4)) AS INT) % 2) * 2 - 1) AS v
         |  FROM bits GROUP BY 1, 2)
         |SELECT doc_id AS id,
-        |       sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |       CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY 1""".stripMargin,
 
     "d_jaccard" -> (shingleSql(5, 3) +
@@ -144,11 +148,29 @@ object PipelineQueries {
         |SELECT a, b, round(j + 1e-9, 6) AS jaccard FROM jac WHERE j >= 0.02""".stripMargin),
 
     "d_embed_neardup" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 1e-9, 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
-        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 1e-9, 6) >= 0.35""".stripMargin,
+      """WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 10 = 0),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |q AS (SELECT id, dims.d, CAST(round(CAST(e[dims.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |      FROM v CROSS JOIN dims),
+        |bp AS (SELECT b AS band, p FROM (SELECT unnest(generate_series(0, 15)) AS b) bb
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS p) pp),
+        |signs AS (SELECT band, p, dims.d,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(band || ':' || p || ':' || dims.d), 1, 1)) - 1) % 2 = 0
+        |       THEN 1 ELSE -1 END AS sg
+        |  FROM bp CROSS JOIN dims),
+        |sums AS (SELECT q.id, s.band, s.p, sum(q.qv * s.sg) AS t
+        |         FROM q JOIN signs s ON s.d = q.d GROUP BY 1, 2, 3),
+        |buckets AS (SELECT id, band,
+        |  CAST(sum(CASE WHEN t > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM sums GROUP BY 1, 2),
+        |sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM buckets),
+        |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+        |         FROM sized l JOIN sized r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        |         WHERE l.bsz <= 500 AND r.bsz <= 500),
+        |scored AS (SELECT c.a, c.b,
+        |  round(list_cosine_similarity(CAST(va.e AS DOUBLE[]), CAST(vb.e AS DOUBLE[])) + 1e-9, 6) AS cos
+        |  FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b)
+        |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
 
     "s_ann_topk" ->
       """WITH scored AS (

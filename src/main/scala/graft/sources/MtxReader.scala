@@ -23,13 +23,17 @@ import graft.core.Edge
  */
 object MtxReader {
 
-  def read(spark: SparkSession, path: String,
-           header: Boolean = true, intWeights: Boolean = true): DataFrame = {
+  /** Parsed binary mtx: edges plus the header dims (both 0 when headerless). */
+  final case class Mtx(edges: DataFrame, m: Long, n: Long)
+
+  def readMtx(spark: SparkSession, path: String,
+              header: Boolean = true, intWeights: Boolean = true): Mtx = {
     import spark.implicits._
     val bytes = Files.readAllBytes(Paths.get(path))
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var m = 0L; var nDim = 0L
     val nnz: Int =
-      if (header) { buf.getInt(); buf.getInt(); buf.getInt() }
+      if (header) { m = buf.getInt().toLong; nDim = buf.getInt().toLong; buf.getInt() }
       else (bytes.length - buf.position()) / 12
     val n = math.min(nnz.toLong, (bytes.length - buf.position()) / 12L).toInt
     val edges = new Array[Edge](n)
@@ -41,6 +45,42 @@ object MtxReader {
       edges(i) = Edge(s, d, w)
       i += 1
     }
-    spark.createDataset(edges.toIndexedSeq).toDF()
+    Mtx(spark.createDataset(edges.toIndexedSeq).toDF(), m, nDim)
+  }
+
+  def read(spark: SparkSession, path: String,
+           header: Boolean = true, intWeights: Boolean = true): DataFrame =
+    readMtx(spark, path, header, intWeights).edges
+
+  /** The ReadMTX square-ify step (`/root/reference/include/Graph.h:253-257`):
+    * a rectangular header is promoted to the square hull m = n = max(m, n),
+    * so bipartite inputs (e.g. SGD's ratings) get a square adjacency. */
+  def readSquare(spark: SparkSession, path: String,
+                 header: Boolean = true, intWeights: Boolean = true): Mtx = {
+    val r = readMtx(spark, path, header, intWeights)
+    val side = math.max(r.m, r.n)
+    r.copy(m = side, n = side)
+  }
+
+  /**
+   * Binary edge-list writer — the reference's `WriteEdges`
+   * (`include/GMDP/utils/edgelist.h:208-240,454-457`): int32 header
+   * `(m, n, nnz)` then `(src:int32, dst:int32, val:int32|float32)` records,
+   * little-endian, 1-based ids. Dims default to max(src)/max(dst) when not
+   * given. Fixture-scale only (single local file), like the reader.
+   */
+  def write(edges: DataFrame, path: String, m: Long = 0L, n: Long = 0L,
+            header: Boolean = true, intWeights: Boolean = true): Unit = {
+    val rows = edges.select("src", "dst", "weight").collect()
+    val dimM = if (m > 0) m else rows.iterator.map(_.getLong(0)).foldLeft(0L)(math.max)
+    val dimN = if (n > 0) n else rows.iterator.map(_.getLong(1)).foldLeft(0L)(math.max)
+    val buf = ByteBuffer.allocate((if (header) 12 else 0) + rows.length * 12)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    if (header) { buf.putInt(dimM.toInt); buf.putInt(dimN.toInt); buf.putInt(rows.length) }
+    rows.foreach { r =>
+      buf.putInt(r.getLong(0).toInt); buf.putInt(r.getLong(1).toInt)
+      if (intWeights) buf.putInt(r.getDouble(2).toInt) else buf.putFloat(r.getDouble(2).toFloat)
+    }
+    Files.write(Paths.get(path), buf.array())
   }
 }

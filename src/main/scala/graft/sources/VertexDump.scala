@@ -21,8 +21,10 @@ object VertexDump {
   /** The formatted lines as a single-column DataFrame (testable without I/O). */
   def lines(state: DataFrame, valueCol: Column, decimals: Int = 6): DataFrame = {
     val v = valueCol.cast("double")
+    // format_string, NOT format_number: the latter inserts grouping separators
+    // ("1,234.500000") for values >= 1000, breaking the golden line format
     val formatted = when(v === v.cast("long"), v.cast("long").cast("string"))
-      .otherwise(format_number(v, decimals))
+      .otherwise(format_string(s"%.${decimals}f", v))
     state.select(col("id"), formatted.as("v"))
       .orderBy("id")
       .select(concat_ws(" ", col("id"), col("v")).as("value"))

@@ -37,8 +37,20 @@ object TranscriptStream {
       pending: Map[Int, (String, String)], // idx -> (role, tool)
       openTools: Map[String, List[Long]])  // tool -> open invoking turn ids
 
+  /**
+   * Conversation block from a full 64-bit string hash: two independent
+   * 32-bit murmur passes (different seeds) concatenated, then finalized.
+   * A single 32-bit hash gives 50% collision odds by ~80k conversations;
+   * with 44 effective block bits the birthday bound moves to ~5M live
+   * conversations (expected colliding pairs ≈ n²/2^45 — at 10^9
+   * conversations route through the batch dense-ordinal scheme or key state
+   * by the conv_id string itself, as this extractor does).
+   */
   def vertexId(convId: String, turnIdx: Int): Long = {
-    var z = scala.util.hashing.MurmurHash3.stringHash(convId).toLong * 0x9E3779B97F4A7C15L
+    import scala.util.hashing.MurmurHash3
+    val h1 = MurmurHash3.stringHash(convId, 0xA5A5A5A5).toLong
+    val h2 = MurmurHash3.stringHash(convId, 0x5EED5EED).toLong & 0xFFFFFFFFL
+    var z = ((h1 << 32) | h2) * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^= (z >>> 31)

@@ -42,6 +42,39 @@ class GatherScatterSpec extends AnyFunSuite {
     assert(iters === engine.iterations, s"fast $iters vs engine ${engine.iterations}")
   }
 
+  test("degree-aware hot-vertex split: hub edges spread across partitions, results unchanged") {
+    // planted hub: vertex 1 fans out to 2000 spokes; background chains keep
+    // the rest of the graph non-trivial
+    val hub = (2L to 2001L).map(d => Edge(1L, d, 1.0))
+    val chains = (0 until 40).flatMap(c =>
+      (0 until 20).map(i => Edge(10000L + c * 100 + i, 10000L + c * 100 + i + 1, 1.0)))
+    val g = LinkGraph.fromSeq(s, hub ++ chains, 8)
+
+    val split = GatherScatter.build(g, 8, hotDegree = 100)
+    assert(split.hotIds.toSeq === Seq(1L), "hub must be flagged hot")
+    // degree-aware split: no partition holds more than a fair share of the
+    // hub's edges (vs all 2000 in one partition without the split)
+    val perPart = split.csr.map(b =>
+      b.hotEdgeSrcIdx.length + b.edgeSrcIdx.filter(_ != null).map(_.length).sum).collect()
+    assert(perPart.max < 2000 / 2, s"hub edges still concentrated: ${perPart.toSeq}")
+    assert(perPart.count(_ > 0) >= 4, "hub edges should spread over several partitions")
+
+    val noSplit = GatherScatter.build(g, 8, hotDegree = 1000000)
+    assert(noSplit.hotIds.isEmpty)
+    val a = GatherScatter.toDF(s, GatherScatter.pageRank(split, 0.3, 10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = GatherScatter.toDF(s, GatherScatter.pageRank(noSplit, 0.3, 10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sql = PageRank.run(g, tol = -1.0, maxIterations = 10).state
+      .select("id", "pagerank").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === sql.keySet)
+    for ((k, v) <- sql) {
+      assert(math.abs(a(k) - v) < 1e-9, s"split vs engine, vertex $k")
+      assert(math.abs(a(k) - b(k)) < 1e-12, s"split vs no-split, vertex $k")
+    }
+    split.unpersist(); noSplit.unpersist()
+  }
+
   test("gather-scatter PageRank on transcript graph: engine parity + partition invariance") {
     val graph = Transcripts.toGraph(Transcripts.synthesize(s, 300))
     val p4 = GatherScatter.toDF(s, GatherScatter.pageRank(GatherScatter.build(graph, 4), 0.3, 8))

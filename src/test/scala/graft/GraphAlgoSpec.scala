@@ -121,6 +121,24 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(res.converged) // reached a fixpoint before the budget
   }
 
+  test("triangle orientation is degree-ordered: a star hub generates no wedges") {
+    import org.apache.spark.sql.functions._
+    // star: hub 1 with 60 spokes (id-ordering would enumerate C(60,2)=1770
+    // wedges around it) + a 4-clique holding the only real triangles
+    val star = (2L to 61L).map(d => Edge(1L, d, 1.0))
+    val clique = for (a <- 100L to 103L; b <- (a + 1) to 103L) yield Edge(a, b, 1.0)
+    val g = LinkGraph.fromSeq(s, star ++ clique, 4)
+    val tri = TriangleCount.perVertex(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri.values.sum === 4L)                 // C(4,3) triangles
+    assert(tri(103L) === 3L && tri(102L) === 1L)  // max-id attribution
+    val o = TriangleCount.orientByDegree(
+      graft.core.EdgeOps.toDag(g.edges).select("src", "dst"))
+    val wedgeCount = o.groupBy("lo").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0)
+    assert(wedgeCount === 4.0, s"degree orientation should leave only the clique's wedges, got $wedgeCount")
+  }
+
   test("triangle count: reference test graph has 6 triangles, attributed to max vertex") {
     val got = TriangleCount.perVertex(testGraph).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -25,11 +25,14 @@ class IoOpsSpec extends AnyFunSuite {
   }
 
   test("vertex dump lines: sorted by id, golden '<id> <value>' shape") {
-    val st = Seq((3L, 0.5), (1L, 2.0), (2L, 0.123456789)).toDF("id", "pagerank")
+    val st = Seq((3L, 0.5), (1L, 2.0), (2L, 0.123456789), (4L, 1234.5))
+      .toDF("id", "pagerank")
     val lines = VertexDump.lines(st, col("pagerank")).as[String].collect()
     assert(lines(0) === "1 2")
     assert(lines(1) === "2 0.123457")
     assert(lines(2) === "3 0.500000")
+    // >= 1000 non-integral: no grouping separators in the golden format
+    assert(lines(3) === "4 1234.500000")
   }
 
   test("vertex accessors: point set/get, setActive, mapReduce") {

@@ -18,6 +18,33 @@ class MtxAndResumeSpec extends AnyFunSuite {
     assert(got === SparkTestBase.testGraphEdges.toSet)
   }
 
+  test("binary writer round-trips the reference fixture byte-compatibly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mtx").toString
+    val orig = MtxReader.readMtx(s, s"$refData/test.bin.mtx")
+    MtxReader.write(orig.edges, s"$tmp/rt.bin.mtx", m = orig.m, n = orig.n)
+    val back = MtxReader.readMtx(s, s"$tmp/rt.bin.mtx")
+    assert(back.m === orig.m && back.n === orig.n)
+    val a = orig.edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = back.edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+    // the declared record section is reproduced byte-for-byte (collect order
+    // == file order); the fixture carries a 14th record beyond its nnz=13
+    // header, which the reference itself never reads (edgelist.h:269-288)
+    val origBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$refData/test.bin.mtx"))
+    val rtBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/rt.bin.mtx"))
+    val recLen = 13 * 12
+    assert(rtBytes.length === 12 + recLen)
+    assert(java.util.Arrays.equals(
+      origBytes.slice(12, 12 + recLen), rtBytes.slice(12, 12 + recLen)))
+  }
+
+  test("readSquare promotes a rectangular header to the square hull (ReadMTX semantics)") {
+    val r = MtxReader.readSquare(s, s"$refData/ratings7.bin.mtx")
+    assert(r.m === r.n, "square-ify must equalize dims")
+    val raw = MtxReader.readMtx(s, s"$refData/ratings7.bin.mtx")
+    assert(r.m === math.max(raw.m, raw.n))
+  }
+
   test("mtx reader honors header nnz (2_10_upper_triangle has a trailing extra record)") {
     val e = MtxReader.read(s, s"$refData/2_10_upper_triangle.bin.mtx")
     assert(e.count() === 15069L)

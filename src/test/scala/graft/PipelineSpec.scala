@@ -81,6 +81,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute.union(lsh)))   // sanity
   }
 
+  test("banded LSH ANN: recall@5 >= 0.9 vs brute force on real embeddings, buckets bounded") {
+    val vecs = s.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = vecs.filter(col("id") % 25 === 0) // 20 queries
+    val brute = Similarity.bruteTopK(queries, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.lshBandedTopK(queries, vecs, 5,
+      bands = 16, planes = 2, maxBucket = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & banded).size.toDouble / brute.size
+    assert(recall >= 0.9, s"banded recall@5 = $recall")
+    // bucket granularity sanity: no band bucket holds the whole corpus
+    val sizes = Similarity.bandedSignatures(vecs, 16, 2)
+      .groupBy("band", "bucket").count().select(max("count")).head().getLong(0)
+    assert(sizes <= 500, s"max bucket $sizes exceeds cap")
+    assert(sizes < 500, s"buckets should partition the corpus, max=$sizes")
+  }
+
+  test("banded LSH near-dup finds planted parallel vectors without an all-pairs join") {
+    val base = Array.tabulate(16)(i => (math.sin(i * 1.7) * 0.5).toFloat)
+    val near = base.map(x => x * 2.0f) // parallel -> cos 1.0
+    def h(i: Long, d: Int): Float = {
+      var z = i * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      (((z >>> 40) % 1000L) - 500L) / 500.0f
+    }
+    val noise = (3L to 40L).map(i => (i, Array.tabulate(16)(d => h(i, d))))
+    val vecs = (Seq((1L, base), (2L, near)) ++ noise).toDF("id", "vec")
+    val nd = Similarity.lshNearDup(vecs, 0.999, bands = 16, planes = 2, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq === Seq((1L, 2L)))
+  }
+
   test("cosineNearDup finds planted parallel vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
