@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// (Window still used by `edges`' per-conversation lead)
 
 /**
  * The graft-specific front end (SURVEY.md §7.2): multi-turn conversation /

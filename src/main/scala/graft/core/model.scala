@@ -38,12 +38,21 @@ final case class Edge(src: Long, dst: Long, weight: Double)
  */
 final class LinkGraph private (
     val edges: DataFrame,
-    val numPartitions: Int) extends Serializable {
+    val numPartitions: Int,
+    /** Endpoint degree above which a vertex is treated as a hub by the
+      * superstep router (north rule: salted hot vertices / degree-aware
+      * split). 0 = automatic (a quarter of an average partition's edges);
+      * < 0 disables the split. */
+    val hotDegree: Long = 0L) extends Serializable {
 
   import LinkGraph._
 
   private[this] var bySrc: Option[DataFrame] = None
   private[this] var byDst: Option[DataFrame] = None
+  private[this] var hotBySalt: collection.mutable.Map[String, DataFrame] =
+    collection.mutable.Map.empty
+  private[this] var hotCache: collection.mutable.Map[String, Array[Long]] =
+    collection.mutable.Map.empty
 
   /** Edges clustered for joins on `src` (messages along OUT edges). */
   def edgesBySrc: DataFrame = synchronized {
@@ -66,6 +75,57 @@ final class LinkGraph private (
         .persist(StorageLevel.MEMORY_AND_DISK)
       byDst = Some(df)
       df
+    }
+  }
+
+  private def effectiveHotDegree: Long =
+    if (hotDegree > 0) hotDegree
+    else math.max(4096L, numEdges / numPartitions / 4)
+
+  /** Hub endpoints on `key` (src|dst): degree above the hot threshold. One
+    * aggregate over the edges, computed lazily and memoized; by definition
+    * the result is small (otherwise the threshold is wrong). */
+  def hotIds(key: String): Array[Long] = synchronized {
+    hotCache.getOrElseUpdate(key, {
+      if (hotDegree < 0) Array.emptyLongArray
+      else edges.groupBy(col(key)).count()
+        .filter(col("count") > effectiveHotDegree)
+        .select(col(key)).collect().map(_.getLong(0)).sorted
+    })
+  }
+
+  /** A hub's edge list spread evenly over all partitions (salted by the
+    * OTHER endpoint) instead of clustered on one — the degree-aware split. */
+  private def hotEdges(key: String, other: String): DataFrame = synchronized {
+    hotBySalt.getOrElseUpdate(key, {
+      val df = edges.filter(col(key).isInCollection(hotIds(key)))
+        .repartition(numPartitions, col(other))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+  }
+
+  /**
+   * The superstep routing join with hub splitting: messages (keyed `_send`)
+   * joined through the edges clustered on `senderKey`. Cold srcs use the
+   * pre-partitioned edge view (only the frontier shuffles); hub srcs — whose
+   * edge lists would otherwise pin one partition — use a BROADCAST of their
+   * (few, by definition) frontier rows against their salted edge shards, so
+   * a million-edge hub costs every partition |E_hub|/n instead of one
+   * partition |E_hub|. Row set is identical either way.
+   */
+  def joinAlong(msgs: DataFrame, senderKey: String): DataFrame = {
+    val clustered = if (senderKey == "src") edgesBySrc else edgesByDst
+    val hot = hotIds(senderKey)
+    if (hot.isEmpty) msgs.join(clustered, col("_send") === col(senderKey))
+    else {
+      val cold = msgs.filter(!col("_send").isInCollection(hot))
+        .join(clustered.filter(!col(senderKey).isInCollection(hot)),
+          col("_send") === col(senderKey))
+      val hotJoin = broadcast(msgs.filter(col("_send").isInCollection(hot)))
+        .join(hotEdges(senderKey, if (senderKey == "src") "dst" else "src"),
+          col("_send") === col(senderKey))
+      cold.unionByName(hotJoin)
     }
   }
 
@@ -94,19 +154,24 @@ final class LinkGraph private (
       .filter(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
     val both = canon.union(canon.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-    new LinkGraph(both, numPartitions)
+    new LinkGraph(both, numPartitions, hotDegree)
   }
+
+  /** Same graph with a different hub threshold (fresh clustered-view caches). */
+  def copyWithHotDegree(hd: Long): LinkGraph = new LinkGraph(edges, numPartitions, hd)
 
   def unpersistAll(): Unit = synchronized {
     bySrc.foreach(_.unpersist()); bySrc = None
     byDst.foreach(_.unpersist()); byDst = None
+    hotBySalt.values.foreach(_.unpersist()); hotBySalt.clear()
+    hotCache.clear()
   }
 }
 
 object LinkGraph {
 
   /** Build from any DataFrame with (src, dst[, weight]) columns. */
-  def apply(edges: DataFrame, numPartitions: Int = 0): LinkGraph = {
+  def apply(edges: DataFrame, numPartitions: Int = 0, hotDegree: Long = 0L): LinkGraph = {
     val spark = edges.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -115,7 +180,7 @@ object LinkGraph {
         edges.select(col("src").cast("long"), col("dst").cast("long"), col("weight").cast("double"))
       else
         edges.select(col("src").cast("long"), col("dst").cast("long"), lit(1.0).as("weight"))
-    new LinkGraph(withW, n)
+    new LinkGraph(withW, n, hotDegree)
   }
 
   /** Build from an in-memory edge list (tests / the bundled reference graphs). */

@@ -197,9 +197,12 @@ object GatherScatter {
       hotIds: Array[Long],                     // globally sorted hot vertex ids
       numPartitions: Int,
       numEdges: Long,
-      numVertices: Long) {
+      numVertices: Long,
+      // the persisted RDD `verts`/`inIdx` are views of (kept for unpersist)
+      private val combined: Option[RDD[(VertexMeta, Array[Array[Int]])]] = None) {
     def unpersist(): Unit = {
       csr.unpersist(blocking = false)
+      combined.foreach(_.unpersist(blocking = false))
       verts.unpersist(blocking = false)
       inIdx.unpersist(blocking = false)
     }
@@ -213,6 +216,20 @@ object GatherScatter {
       case _ => false
     }
     override def hashCode: Int = n
+  }
+
+  /** Sort a long array, returning (sorted, perm) with perm(oldIdx) = newIdx.
+    * Build-time only: every per-partition layout is SORTED so that a lineage
+    * recomputation after executor loss reproduces the identical layout —
+    * otherwise rank vectors aligned to a pre-loss layout would silently
+    * misalign against a recomputed one (shuffle arrival order is not
+    * deterministic). */
+  private def sortWithPerm(a: Array[Long]): (Array[Long], Array[Int]) = {
+    val idx = Array.range(0, a.length).sortBy(a.apply)
+    val sorted = new Array[Long](a.length); val perm = new Array[Int](a.length)
+    var i = 0
+    while (i < idx.length) { sorted(i) = a(idx(i)); perm(idx(i)) = i; i += 1 }
+    (sorted, perm)
   }
 
   /** Growable primitive pair builder for the per-tp edge lists. */
@@ -281,7 +298,7 @@ object GatherScatter {
 
     val nLoc = n // plain local so closures don't capture the outer object
     val csr: RDD[CsrBlock] = routed
-      .mapPartitions({ it =>
+      .mapPartitionsWithIndex({ (p, it) =>
         val hot = hotBc.value
         val hDeg = hotDegBc.value
         var capE = 1 << 12
@@ -364,29 +381,52 @@ object GatherScatter {
           }
           i += 1
         }
-        val outIds = Array.tabulate(nTp)(tp =>
-          if (outList(tp) == null) null
-          else java.util.Arrays.copyOf(outList(tp), outLen(tp)))
-        val eSrc = Array.tabulate(nTp)(tp => if (ebuf(tp) == null) null else ebuf(tp).trimA)
-        val eOut = Array.tabulate(nTp)(tp => if (ebuf(tp) == null) null else ebuf(tp).trimB)
-        val hLoc = java.util.Arrays.copyOf(hotLocIdx, nHotLoc)
+        // canonicalize every layout by sorting + index remap: a recomputed
+        // block after executor loss must reproduce the identical structure
+        // (see sortWithPerm). Sets are order-independent, so sorted layout is.
+        val (srcsS, permS) = sortWithPerm(srcs)
+        val invDegS = new Array[Double](srcs.length)
+        i = 0
+        while (i < srcs.length) { invDegS(permS(i)) = invDeg(i); i += 1 }
+        val outIds = new Array[Array[Long]](nTp)
+        val outPerm = new Array[Array[Int]](nTp)
+        var tp = 0
+        while (tp < nTp) {
+          if (outList(tp) != null) {
+            val (o, po) = sortWithPerm(java.util.Arrays.copyOf(outList(tp), outLen(tp)))
+            outIds(tp) = o; outPerm(tp) = po
+          }
+          tp += 1
+        }
+        val eSrc = new Array[Array[Int]](nTp)
+        val eOut = new Array[Array[Int]](nTp)
+        tp = 0
+        while (tp < nTp) {
+          if (ebuf(tp) != null) {
+            val a = ebuf(tp).trimA; val b = ebuf(tp).trimB
+            i = 0
+            while (i < a.length) { a(i) = permS(a(i)); b(i) = outPerm(tp)(b(i)); i += 1 }
+            eSrc(tp) = a; eOut(tp) = b
+          }
+          tp += 1
+        }
+        val hLocRaw = java.util.Arrays.copyOf(hotLocIdx, nHotLoc)
+        val (hLocSortedL, permH) = sortWithPerm(hLocRaw.map(_.toLong))
+        val hLoc = hLocSortedL.map(_.toInt)
+        val hSrc = hbuf.trimA; val hOut = hbuf.trimB
+        i = 0
+        while (i < hSrc.length) {
+          hSrc(i) = permH(hSrc(i))
+          hOut(i) = outPerm(p)(hOut(i)) // hot edges target the local bucket
+          i += 1
+        }
         Iterator.single(CsrBlock(
-          srcs, invDeg, outIds, eSrc, eOut,
+          srcsS, invDegS, outIds, eSrc, eOut,
           hLoc, hLoc.map(g => 1.0 / hDeg(g)),
-          hbuf.trimA, hbuf.trimB))
+          hSrc, hOut))
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     csr.count()
-
-    // receivers (distinct dst) per partition — dst copies hash to the same
-    // partition as the dst's rank home
-    val recv: RDD[Array[Long]] = edgePairs.map(e => (e._2, null))
-      .partitionBy(new MixPartitioner(n))
-      .mapPartitions({ it =>
-        val s = new LongDoubleMap(1024)
-        while (it.hasNext) s.put(it.next()._1, 0.0)
-        Iterator.single(s.toArrays._1)
-      }, preservesPartitioning = true)
 
     // hot srcs are vertices of their HOME partition even when their edges
     // were scattered elsewhere
@@ -396,29 +436,61 @@ object GatherScatter {
       .mapPartitions(it => Iterator.single(it.map(_._1).toArray),
         preservesPartitioning = true)
 
-    // vertex layout: receivers first [0, nRecv), then src-only vertices
-    val verts: RDD[VertexMeta] =
-      csr.zipPartitions(recv, hotHomeRdd, preservesPartitioning = true) { (cIt, rIt, hIt) =>
-        val blk = cIt.next(); val rv = rIt.next(); val hh = hIt.next()
+    // ONE exchange of the static unique-dst tables yields BOTH the receiver
+    // sets (their union at p = exactly p's receivers — no separate 78M-record
+    // dst shuffle) and the incoming-index table; per-superstep shuffles then
+    // carry doubles only.
+    val outMeta: RDD[(Int, (Int, Array[Long]))] = csr.mapPartitionsWithIndex {
+      (p, it) =>
+        val blk = it.next()
+        Iterator.range(0, blk.outIds.length)
+          .filter(tp => blk.outIds(tp) != null)
+          .map(tp => (tp, (p, blk.outIds(tp))))
+    }
+    // vertex layout (receivers first [0, nRecv), then src-only vertices) plus
+    // per-source-block incoming indices, built together in one pass
+    val vertsAndIdx: RDD[(VertexMeta, Array[Array[Int]])] = outMeta
+      .partitionBy(idPart)
+      .zipPartitions(csr, hotHomeRdd, preservesPartitioning = true) { (mIt, cIt, hIt) =>
+        val blk = cIt.next(); val hh = hIt.next()
+        java.util.Arrays.sort(hh) // recomputation-stable layout
         val hot = hotBc.value
-        val pos = new LongDoubleMap(blk.srcs.length + rv.length + hh.length)
-        val ids = new Array[Long](blk.srcs.length + rv.length + hh.length)
+        val incoming = new Array[Array[Long]](nLoc)
+        while (mIt.hasNext) {
+          val (_, (q, ids)) = mIt.next()
+          incoming(q) = ids
+        }
+        // receivers = sorted dedup of all incoming unique-dst tables — sorted
+        // so the layout is recomputation-stable (see sortWithPerm scaladoc)
+        var total = 0
+        var q = 0
+        while (q < nLoc) { if (incoming(q) != null) total += incoming(q).length; q += 1 }
+        val all = new Array[Long](total)
+        var w = 0
+        q = 0
+        while (q < nLoc) {
+          val in = incoming(q)
+          if (in != null) { System.arraycopy(in, 0, all, w, in.length); w += in.length }
+          q += 1
+        }
+        java.util.Arrays.sort(all)
+        val pos = new LongDoubleMap(math.max(total, 8))
+        var ids = new Array[Long](math.max(total, 1024))
         var k = 0
-        var i = 0
-        while (i < rv.length) { pos.put(rv(i), k.toDouble); ids(k) = rv(i); k += 1; i += 1 }
+        @inline def add(id: Long): Unit = {
+          if (pos.getOrNaN(id).isNaN) {
+            pos.put(id, k.toDouble)
+            if (k == ids.length) ids = java.util.Arrays.copyOf(ids, k << 1)
+            ids(k) = id; k += 1
+          }
+        }
+        var i0 = 0
+        while (i0 < total) { add(all(i0)); i0 += 1 }
         val nRecv = k
+        var i = 0
+        while (i < blk.srcs.length) { add(blk.srcs(i)); i += 1 }
         i = 0
-        while (i < blk.srcs.length) {
-          val s = blk.srcs(i)
-          if (pos.getOrNaN(s).isNaN) { pos.put(s, k.toDouble); ids(k) = s; k += 1 }
-          i += 1
-        }
-        i = 0
-        while (i < hh.length) {
-          val s = hh(i)
-          if (pos.getOrNaN(s).isNaN) { pos.put(s, k.toDouble); ids(k) = s; k += 1 }
-          i += 1
-        }
+        while (i < hh.length) { add(hh(i)); i += 1 }
         val idsT = java.util.Arrays.copyOf(ids, k)
         val srcPrIdx = new Array[Int](blk.srcs.length)
         i = 0
@@ -431,42 +503,30 @@ object GatherScatter {
           hl(i) = pos.getOrNaN(hh(i)).toInt
           i += 1
         }
-        Iterator.single(VertexMeta(idsT, nRecv, srcPrIdx, hg, hl))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count()
-
-    // static incoming-index table: for each source block q, where each slot of
-    // q's outIds(p) lands in p's dense accumulator. Built with ONE exchange of
-    // the id arrays; per-superstep shuffles then carry doubles only.
-    val outMeta: RDD[(Int, (Int, Array[Long]))] = csr.mapPartitionsWithIndex {
-      (p, it) =>
-        val blk = it.next()
-        Iterator.range(0, blk.outIds.length)
-          .filter(tp => blk.outIds(tp) != null)
-          .map(tp => (tp, (p, blk.outIds(tp))))
-    }
-    val inIdx: RDD[Array[Array[Int]]] = outMeta
-      .partitionBy(idPart)
-      .zipPartitions(verts, preservesPartitioning = true) { (mIt, vIt) =>
-        val vm = vIt.next()
-        val pos = new LongDoubleMap(math.max(vm.nRecv, 8))
-        var i = 0
-        while (i < vm.nRecv) { pos.put(vm.ids(i), i.toDouble); i += 1 }
-        val arr = new Array[Array[Int]](nLoc)
-        while (mIt.hasNext) {
-          val (_, (q, ids)) = mIt.next()
-          val a = new Array[Int](ids.length)
-          var j = 0
-          while (j < ids.length) { a(j) = pos.getOrNaN(ids(j)).toInt; j += 1 }
-          arr(q) = a
+        val inIdxArr = new Array[Array[Int]](nLoc)
+        q = 0
+        while (q < nLoc) {
+          val in = incoming(q)
+          if (in != null) {
+            val a = new Array[Int](in.length)
+            var j = 0
+            while (j < in.length) { a(j) = pos.getOrNaN(in(j)).toInt; j += 1 }
+            inIdxArr(q) = a
+          }
+          q += 1
         }
-        Iterator.single(arr)
+        Iterator.single((VertexMeta(idsT, nRecv, srcPrIdx, hg, hl), inIdxArr))
       }.persist(StorageLevel.MEMORY_AND_DISK)
-    inIdx.count()
+    vertsAndIdx.count()
 
-    val nV = verts.map(_.ids.length.toLong).sum().toLong
+    val verts: RDD[VertexMeta] =
+      vertsAndIdx.mapPartitions(it => it.map(_._1), preservesPartitioning = true)
+    val inIdx: RDD[Array[Array[Int]]] =
+      vertsAndIdx.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
+
+    val nV = vertsAndIdx.map(_._1.ids.length.toLong).sum().toLong
     edgePairs.unpersist(blocking = false)
-    PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV)
+    PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV, Some(vertsAndIdx))
   }
 
   /** Dense rank vectors, one Array[Double] per partition, aligned to VertexMeta.ids. */
@@ -534,6 +594,37 @@ object GatherScatter {
       Iterator.range(0, out.length).filter(out(_) != null).map(tp => (tp, (p, out(tp))))
     }
 
+  /**
+   * One LAZY superstep for the fixed-iteration path: gather → all-to-all →
+   * dense apply, with in-degree-0 slots pinned to their initial 0.3 (they
+   * never receive, so the previous vector need not be read). The input rank
+   * RDD is therefore consumed exactly ONCE, which lets the driver chain K
+   * supersteps into a single pipelined job — no per-superstep persist/count,
+   * no per-superstep job-scheduling overhead.
+   */
+  private def superstepLazy(g: PrGraph, ranks: RDD[Array[Double]],
+                            alpha: Double): RDD[Array[Double]] = {
+    val idPart = new IdPartitioner(g.numPartitions)
+    val exchanged = gatherPhase(ranks, g, null).partitionBy(idPart)
+    exchanged.zipPartitions(g.inIdx, g.verts, preservesPartitioning = true) {
+      (pIt, iIt, vIt) =>
+        val inIdx = iIt.next(); val vm = vIt.next()
+        val acc = new Array[Double](vm.nRecv)
+        while (pIt.hasNext) {
+          val (_, (q, vals)) = pIt.next()
+          val idx = inIdx(q)
+          var i = 0
+          while (i < vals.length) { acc(idx(i)) += vals(i); i += 1 }
+        }
+        val nV = vm.ids.length
+        val newPr = new Array[Double](nV)
+        var i = 0
+        while (i < vm.nRecv) { newPr(i) = alpha + (1.0 - alpha) * acc(i); i += 1 }
+        while (i < nV) { newPr(i) = 0.3; i += 1 } // in-degree-0: keep init
+        Iterator.single(newPr)
+    }
+  }
+
   /** One superstep: gather → all-to-all → dense apply. Returns the new rank
     * vectors and (when `tol` >= 0) counts vertices that moved more than tol. */
   private def superstep(g: PrGraph, ranks: RDD[Array[Double]], alpha: Double,
@@ -589,26 +680,53 @@ object GatherScatter {
    */
   def pageRank(g: PrGraph, alpha: Double, iterations: Int,
                checkpointEvery: Int = 25): RDD[RankBlock] = {
-    var ranks = initRanks(g).persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
-    var prev = ranks
-    var it = 0
-    val iterLog = sys.env.contains("SPARK_GRAFT_ITERLOG")
-    while (it < iterations) {
-      val t0 = if (iterLog) System.nanoTime() else 0L
-      val newRanks = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if ((it + 1) % checkpointEvery == 0) newRanks.localCheckpoint()
-      newRanks.count()
-      if (iterLog) println(f"[iter] superstep $it: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      prev.unpersist(blocking = false)
-      prev = newRanks
-      ranks = newRanks
-      it += 1
+    if (g.hotIds.isEmpty) {
+      // hub-less graph: chain all supersteps LAZILY and materialize once —
+      // one pipelined job instead of 2 jobs per superstep (valid because the
+      // lazy superstep consumes its input exactly once; see superstepLazy).
+      // Materialize every `checkpointEvery` steps to bound shuffle lineage.
+      var ranks = initRanks(g)
+      var it = 0
+      var persisted: Option[RDD[Array[Double]]] = None
+      while (it < iterations) {
+        ranks = superstepLazy(g, ranks, alpha)
+        it += 1
+        if (it % checkpointEvery == 0 && it < iterations) {
+          val p = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+          p.localCheckpoint()
+          p.count()
+          persisted.foreach(_.unpersist(blocking = false))
+          persisted = Some(p)
+          ranks = p
+        }
+      }
+      val out = materialize(g, ranks)
+      persisted.foreach(_.unpersist(blocking = false))
+      out
+    } else {
+      // hub graphs need the per-superstep mirror broadcast (a driver action),
+      // so each superstep is materialized
+      var ranks = initRanks(g).persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+      var prev = ranks
+      var it = 0
+      val iterLog = sys.env.contains("SPARK_GRAFT_ITERLOG")
+      while (it < iterations) {
+        val t0 = if (iterLog) System.nanoTime() else 0L
+        val newRanks = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if ((it + 1) % checkpointEvery == 0) newRanks.localCheckpoint()
+        newRanks.count()
+        if (iterLog) println(f"[iter] superstep $it: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        prev.unpersist(blocking = false)
+        prev = newRanks
+        ranks = newRanks
+        it += 1
+      }
+      val out = materialize(g, ranks)
+      ranks.unpersist(blocking = false)
+      out
     }
-    val out = materialize(g, ranks)
-    ranks.unpersist(blocking = false)
-    out
   }
 
   /**

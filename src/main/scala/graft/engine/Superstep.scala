@@ -77,6 +77,24 @@ object Reduce {
   /** Standard ⊕ as aggregate expressions over the gathered frame, grouped by receiver. */
   def byAggs(aggs: Column*): DataFrame => DataFrame =
     df => df.groupBy("_recv").agg(aggs.head, aggs.tail: _*)
+
+  /**
+   * Two-phase salted ⊕ for hub receivers: pre-aggregate on (_recv, salt) —
+   * the salt hashes the SENDER, so a hub's in-messages split into `salts`
+   * independent partials — then fold the partials by _recv. For Spark's
+   * algebraic aggregates (sum/min/max/count) map-side partial aggregation
+   * already bounds hub fan-in to one row per map task, so `byAggs` is the
+   * right default there; use this for ⊕ whose partials the planner cannot
+   * form itself (collect-style or high-cardinality intermediate state).
+   * `partial` runs over the raw messages grouped by (_recv, _salt);
+   * `merge` folds the partial columns grouped by _recv.
+   */
+  def saltedByAggs(salts: Int, partial: Seq[Column], merge: Seq[Column]): DataFrame => DataFrame =
+    df => df
+      .groupBy(col("_recv"), pmod(xxhash64(col("_send")), lit(salts.toLong)).as("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy("_recv")
+      .agg(merge.head, merge.tail: _*)
 }
 
 final case class IterationMetrics(iteration: Int, changed: Long, millis: Long)
@@ -220,20 +238,19 @@ object Superstep {
 
   /** Join messages through the edge table toward the receiver — the SpMV
     * routing step. Edges are pre-clustered on the join key (LinkGraph), so
-    * only the (small) frontier shuffles; the ⊕ aggregation after `reduce`
-    * is the only full-width shuffle per superstep. */
+    * only the (small) frontier shuffles; hub senders take LinkGraph's
+    * broadcast-over-salted-shards path so no partition owns a hub's whole
+    * edge list; the ⊕ aggregation after `reduce` is the only full-width
+    * shuffle per superstep. */
   private def route(graph: LinkGraph, msgs: DataFrame, dir: Direction): DataFrame = {
-    def along(edges: DataFrame, senderKey: String, recvKey: String) =
-      msgs.withColumnRenamed("id", "_send")
-        .join(edges, col("_send") === col(senderKey))
+    def along(senderKey: String, recvKey: String) =
+      graph.joinAlong(msgs.withColumnRenamed("id", "_send"), senderKey)
         .withColumn("_recv", col(recvKey))
         .drop("src", "dst")
     dir match {
-      case Direction.Out => along(graph.edgesBySrc, "src", "dst")
-      case Direction.In  => along(graph.edgesByDst, "dst", "src")
-      case Direction.All =>
-        along(graph.edgesBySrc, "src", "dst")
-          .unionByName(along(graph.edgesByDst, "dst", "src"))
+      case Direction.Out => along("src", "dst")
+      case Direction.In  => along("dst", "src")
+      case Direction.All => along("src", "dst").unionByName(along("dst", "src"))
     }
   }
 

@@ -45,8 +45,11 @@ object AdvancedQueries {
     val counts = toks.groupBy("doc_id", "w").agg(count("*").cast("double").as("weight"))
     val words = DenseRank.denseOrdBy(counts.select("w").distinct(), "word", col("w"))
       .select(col("w"), (lit(1000000L) + col("word")).as("wid"))
+    // cache: LDA's init + per-iteration routing otherwise re-runs the whole
+    // tokenize + DenseRank pipeline several times
     val edges = counts.join(words, "w")
       .select(col("doc_id").as("src"), col("wid").as("dst"), col("weight"))
+      .cache()
     val g = LinkGraph(edges)
     (g, Lda.typesByThreshold(g, 999999L))
   }

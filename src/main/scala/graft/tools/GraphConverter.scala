@@ -38,6 +38,8 @@ object GraphConverter {
 
     var e = opt("--inputformat").getOrElse("text") match {
       case "parquet" => spark.read.parquet(in)
+      case "binary"  => graft.sources.MtxReader.read(spark, in,
+        header = !has("--noheader"), intWeights = !has("--floatweights"))
       case _         => TextEdgeList.read(spark, in)
     }
     opt("--randomweights").foreach(r => e = EdgeOps.randomWeights(e, r.toInt, seed))
@@ -48,13 +50,20 @@ object GraphConverter {
     if (!has("--duplicatededges")) e = EdgeOps.dedupEdges(e)
     if (has("--randomizeids")) e = EdgeOps.permuteIds(e, seed)
 
-    opt("--outputformat").getOrElse("text") match {
+    val ofmt = opt("--outputformat").getOrElse("text")
+    ofmt match {
       case "parquet" => e.write.mode("overwrite").parquet(out)
+      case "binary"  => graft.sources.MtxReader.write(e, out,
+        header = !has("--noheader"), intWeights = !has("--floatweights"))
       case _         => TextEdgeList.write(e, out)
     }
-    println(s"[graph_converter] wrote ${spark.read.format(
-      opt("--outputformat").getOrElse("text") match { case "parquet" => "parquet"; case _ => "text" }
-    ).load(out).count()} lines to $out")
+    val written = ofmt match {
+      case "parquet" => spark.read.parquet(out).count()
+      case "binary"  => graft.sources.MtxReader.read(spark, out,
+        header = !has("--noheader"), intWeights = !has("--floatweights")).count()
+      case _         => spark.read.text(out).count()
+    }
+    println(s"[graph_converter] wrote $written edges to $out")
     spark.stop()
   }
 }

@@ -22,6 +22,10 @@ object Profile {
               sys.env.getOrElse("SPARK_GRAFT_COALESCE", "true"))
       .config("spark.sql.autoBroadcastJoinThreshold",
               sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10485760"))
+      .config("spark.shuffle.compress",
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
