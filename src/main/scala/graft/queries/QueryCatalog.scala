@@ -54,6 +54,17 @@ object QueryCatalog {
       val (m, n) = EdgeOps.dimensions(richEdges(events(s, dir)))
       s.range(1).select(lit(m).as("m"), lit(n).as("n"))
     }),
+    // P9 ApplyEdges: new edge weight from (old weight, src prop, dst prop)
+    "e_applyedges" -> ((s, dir) => {
+      val g = bucketGraph(s, dir)
+      val deg = Degree.outDegrees(g)
+      val state = g.vertices.join(deg, Seq("id"), "left_outer")
+        .select(col("id"), lit(true).as("active"),
+          coalesce(col("degree"), lit(0L)).as("degree"))
+      graft.core.VertexOps.applyToAllEdges(g, state,
+          round(col("weight") * (lit(1) + col("s_degree")) / (lit(1) + col("d_degree")) + 1e-9, 6))
+        .select(col("src"), col("dst"), col("weight").as("new_weight"))
+    }),
 
     // ---- graph algorithms over the events-derived link graph ----
     "g_degree" -> ((s, dir) =>
@@ -137,6 +148,13 @@ object QueryCatalog {
       "SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst"),
     "e_dims" -> (EventGraph.sqlBase +
       "SELECT max(src) AS m, max(dst) AS n FROM rich"),
+    "e_applyedges" -> (EventGraph.sqlBase +
+      """, deg AS (SELECT src AS id, count(*) AS d FROM bucket GROUP BY 1)
+        |SELECT b.src, b.dst,
+        |  round(b.weight * (1 + coalesce(ds.d, 0)) / (1 + coalesce(dd.d, 0)) + 1e-9, 6) AS new_weight
+        |FROM bucket b
+        |LEFT JOIN deg ds ON ds.id = b.src
+        |LEFT JOIN deg dd ON dd.id = b.dst""".stripMargin),
     "g_degree" -> (EventGraph.sqlBase +
       "SELECT src AS id, count(*) AS degree FROM rich GROUP BY 1"),
     "g_pagerank" -> prUnrolled,
