@@ -72,6 +72,14 @@ class GatherScatterSpec extends AnyFunSuite {
       assert(math.abs(a(k) - v) < 1e-9, s"split vs engine, vertex $k")
       assert(math.abs(a(k) - b(k)) < 1e-12, s"split vs no-split, vertex $k")
     }
+    // the until-convergence path (per-superstep materialization + mirror
+    // broadcast) agrees too, including the stop rule
+    val (cr, ci) = GatherScatter.pageRankConverged(split, 0.3, 1e-5)
+    val (dr, di) = GatherScatter.pageRankConverged(noSplit, 0.3, 1e-5)
+    assert(ci === di, s"converged iterations: split $ci vs no-split $di")
+    val cm = GatherScatter.toDF(s, cr).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dm = GatherScatter.toDF(s, dr).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- dm) assert(math.abs(cm(k) - v) < 1e-12, s"converged split vs no-split, vertex $k")
     split.unpersist(); noSplit.unpersist()
   }
 
