@@ -34,3 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+// local-cluster[n,c,m] legs (Bench scaling proof) spawn standalone Workers
+// in-process; without this they would scratch under $SPARK_HOME/work.
+// and their launcher needs SPARK_SCALA_VERSION (normally exported by
+// load-spark-env.sh, absent under sbt) to locate $SPARK_HOME/jars.
+ThisBuild / Test / envVars ++= Map(
+  "SPARK_WORKER_DIR" -> "/tmp/graft-worker", "SPARK_SCALA_VERSION" -> "2.13")
+ThisBuild / run / envVars ++= Map(
+  "SPARK_WORKER_DIR" -> "/tmp/graft-worker", "SPARK_SCALA_VERSION" -> "2.13")
