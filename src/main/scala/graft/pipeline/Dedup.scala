@@ -62,7 +62,10 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs (a<b) from shared LSH buckets, with bucket-size
-    * cap against degenerate buckets (hot-key guard at scale). */
+    * cap against degenerate buckets (hot-key guard at scale). Capped buckets
+    * are excluded from candidates — pair with `lshCoverage` (same bandsDf and
+    * cap) to surface how much the cap dropped; drops are a documented recall
+    * tradeoff, never silent. */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sized = bandsDf.withColumn("bsz",
       count("*").over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
@@ -72,6 +75,22 @@ object Dedup {
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /**
+   * Coverage report for the capped candidate path — drops must be VISIBLE,
+   * not silent: a degenerate bucket (boilerplate text) over `maxBucket` is
+   * excluded from `lshCandidates`, a recall tradeoff the operator of a 100 TB
+   * dedup run has to see. One row: (n_rows, n_buckets, dropped_buckets,
+   * dropped_rows) where dropped_* count (band, bucket) groups over the cap
+   * and the doc rows inside them.
+   */
+  def lshCoverage(bandsDf: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bandsDf.groupBy("band", "bucket").agg(count("*").as("bsz"))
+      .agg(
+        sum("bsz").as("n_rows"),
+        count("*").as("n_buckets"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L)).as("dropped_rows"))
 
   /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over distinct shingles. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
  * engine-reproducible.
  *
  * Scale notes: `bruteTopK` is O(Q×N) — the correctness baseline and fine for
- * modest query sets broadcast against a large corpus. `lshIndex`/`lshTopK`
- * is the scale path: deterministic random-hyperplane signatures bucket the
- * corpus; candidates = same-bucket vectors, exactly re-ranked. Hyperplane
- * components derive from md5, so index and query sides agree with no shared
- * RNG state.
+ * modest query sets broadcast against a large corpus. The banded multi-table
+ * LSH below is the scale path: deterministic random-hyperplane signatures
+ * bucket the corpus per band; candidates = same-bucket vectors, exactly
+ * re-ranked. Hyperplane components derive from md5, so index and query sides
+ * agree with no shared RNG state. Capped buckets are NOT silent: every capped
+ * entry point has a `bandedCoverage` twin reporting dropped buckets/rows.
  */
 object Similarity {
 
@@ -43,47 +44,13 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplane component for (plane p, dimension d):
-    * sign derived from one md5 hex digit — no RNG, no broadcast state. */
-  private def planeSign(p: Column, d: Column): Column = {
-    val digit = instr(lit("0123456789abcdef"),
-      substring(md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 1)) - 1
-    when(digit % 2 === 0, 1.0).otherwise(-1.0)
-  }
-
-  /** LSH signature: `planes` sign-bits of hyperplane dot products → one long
-    * bucket id. Vectors in the same bucket are ANN candidates. */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val contribs = (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeSign(lit(p), i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(s > 0, pow(lit(2.0), lit(p)).cast("long")).otherwise(0L)
-    }
-    contribs.reduce(_ + _)
-  }
-
-  /** ANN via LSH buckets + exact re-rank inside the bucket. Recall < 1 by
-    * construction; multiply probes by unioning rotated plane sets if needed. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      lshBucket(col("vec"), planes).as("bucket"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      lshBucket(col("vec"), planes).as("bucket"))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")) + 1e-9, 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
-
   // ---------------- banded multi-table LSH (the 100 TB path) ----------------
   //
-  // Round-1's single-table LSH collapsed every vector into 2^planes global
-  // buckets — at corpus scale each bucket is a constant fraction of the data
-  // and the in-bucket join is quadratic. The banded scheme fixes both knobs
+  // A single-table LSH (one signature of `planes` bits over the whole corpus,
+  // shipped in round 1 and since deleted) collapses every vector into
+  // 2^planes global buckets — at corpus scale each bucket is a constant
+  // fraction of the data and the in-bucket join is quadratic. The banded
+  // scheme fixes both knobs
   // independently: `bands` hash tables (union of candidates → recall), each
   // keyed by `planes` sign bits (bucket granularity → precision), plus a
   // per-bucket size cap like Dedup.lshCandidates (hot-bucket guard; capped
@@ -117,7 +84,10 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         bandBucket(col("vec"), b, planes)): _*)).as(Seq("band", "bucket")))
 
-  /** Candidate pairs (a<b) sharing any band bucket, with per-bucket size cap. */
+  /** Candidate pairs (a<b) sharing any band bucket, with per-bucket size cap.
+    * Capped buckets are excluded — pair with `bandedCoverage` (same knobs) to
+    * surface how much the cap dropped; drops are a recall tradeoff, never
+    * silent. */
   def bandedCandidates(vecs: DataFrame, bands: Int, planes: Int,
                        maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
@@ -129,6 +99,24 @@ object Similarity {
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b", "va", "vb").dropDuplicates("a", "b")
   }
+
+  /**
+   * Coverage report for the capped banded-LSH paths — drops must be VISIBLE,
+   * not silent: a pathological bucket (zero vectors, boilerplate clusters)
+   * over `maxBucket` is excluded from candidate generation, which is a recall
+   * tradeoff the operator of a 100 TB dedup run has to see. One row:
+   * (n_sigs, n_buckets, dropped_buckets, dropped_sigs) where dropped_* count
+   * band-buckets over the cap and the signature rows inside them.
+   */
+  def bandedCoverage(vecs: DataFrame, bands: Int, planes: Int,
+                     maxBucket: Int): DataFrame =
+    bandedSignatures(vecs, bands, planes)
+      .groupBy("band", "bucket").agg(count("*").as("bsz"))
+      .agg(
+        sum("bsz").as("n_sigs"),
+        count("*").as("n_buckets"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L)).as("dropped_sigs"))
 
   /** Near-duplicate pairs via banded LSH candidates + exact cosine re-check.
     * The scale path for `cosineNearDup`: candidate generation is bucketed

@@ -63,7 +63,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.toSeq === Seq(2L, 3L))
   }
 
-  test("LSH ANN: bucketed search returns exact-rerank results with decent recall") {
+  test("LSH ANN: banded bucketed search returns exact-rerank results with decent recall") {
     // deterministic vector set: clusters around 4 axes
     val vecs = (0 until 200).map { i =>
       val axis = i % 4
@@ -74,11 +74,36 @@ class PipelineSpec extends AnyFunSuite {
     val queries = vecs.filter($"id" < 8)
     val brute = Similarity.bruteTopK(queries, vecs, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(queries, vecs, 5, planes = 4)
+    val lsh = Similarity.lshBandedTopK(queries, vecs, 5, bands = 8, planes = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall") // same-bucket candidates only
     assert(lsh.subsetOf(brute.union(lsh)))   // sanity
+  }
+
+  test("capped LSH drops are visible: coverage reports the planted over-cap bucket") {
+    // 30 identical docs land in one bucket per band; cap 10 drops them all —
+    // and the coverage row must SAY so (no silent truncation)
+    val flood = (1L to 30L).map(i => (i, base)) :+ (31L, "one unrelated doc here")
+    val d = flood.toDF("id", "text")
+    val bandsDf = Dedup.lshBands(Dedup.minHash(Dedup.shingles(d, col("id"), col("text"), 3), 8), 8, 4)
+    val cov = Dedup.lshCoverage(bandsDf, maxBucket = 10).head()
+    assert(cov.getAs[Long]("dropped_buckets") === 4L)  // the flood bucket, once per band
+    assert(cov.getAs[Long]("dropped_rows") === 120L)   // 30 docs x 4 bands
+    assert(cov.getAs[Long]("n_rows") === 124L)
+    // and the candidate path indeed excluded the flooded bucket
+    val cand = Dedup.lshCandidates(bandsDf, maxBucket = 10)
+    assert(cand.count() === 0L)
+  }
+
+  test("capped banded-ANN drops are visible: bandedCoverage reports over-cap buckets") {
+    val dup = Array.tabulate(8)(i => (0.1f * (i + 1)))
+    val flood = (1L to 25L).map(i => (i, dup)) :+ (26L, Array.tabulate(8)(i => (math.cos(i * 2.1) * 0.7).toFloat))
+    val vecs = flood.toDF("id", "vec")
+    val cov = Similarity.bandedCoverage(vecs, bands = 4, planes = 2, maxBucket = 10).head()
+    assert(cov.getAs[Long]("dropped_buckets") >= 4L)  // identical vectors share a bucket in every band
+    assert(cov.getAs[Long]("dropped_sigs") >= 100L)
+    assert(cov.getAs[Long]("n_sigs") === 104L)        // 26 vectors x 4 bands
   }
 
   test("banded LSH ANN: recall@5 >= 0.9 vs brute force on real embeddings, buckets bounded") {
