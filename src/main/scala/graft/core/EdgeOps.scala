@@ -64,11 +64,17 @@ object EdgeOps {
     * global vertex-id permutation applied to both endpoints. Ranks come from
     * DenseRank (no single-partition window) — the permutation is the rank of
     * each id under a seeded hash order. */
-  def permuteIds(edges: DataFrame, seed: Long): DataFrame = {
+  def permuteIds(edges: DataFrame, seed: Long): DataFrame =
+    permuteIdsBy(edges, id => xxhash64(id, lit(seed)))
+
+  /** `randomize_edgelist_square` with a caller-supplied hash order (`ord` of
+    * the id column; id itself is the tie-break) — md5 orders let external
+    * engines replay the permutation exactly, xxhash64 is the fast default. */
+  def permuteIdsBy(edges: DataFrame, ord: Column => Column): DataFrame = {
     val ids = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val mapping = DenseRank
-      .denseOrdBy(ids, "shuf", xxhash64(col("id"), lit(seed)), col("id"))
+      .denseOrdBy(ids, "shuf", ord(col("id")), col("id"))
       .select(col("id"), (col("shuf") + 1).as("newId"))
     edges
       .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newId", "nsrc"), "src")

@@ -87,6 +87,21 @@ object AdvancedQueries {
       Lda.run(g, types, iterations = 2, gammaFn = Lda.gamma0Md5)
         .select(col("id"), posexplode(col("n")).as(Seq("k", "v")))
         .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
+    }),
+
+    // LDA top-words report (`/root/reference/src/LDA.cpp:344-374`, the
+    // commented-out print_results): top-5 word ids per topic by topic count.
+    // Ties break on the ROUNDED count then word id so both engines agree.
+    "g_lda_topwords" -> ((s, dir) => {
+      val (g, types) = docTermGraph(s, dir)
+      val words = Lda.run(g, types, iterations = 2, gammaFn = Lda.gamma0Md5)
+        .filter(col("id") >= 1000000L)
+        .select(col("id"), posexplode(col("n")).as(Seq("k", "v")))
+        .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc, col("id"))
+      words.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("k", "rank", "id", "v")
     })
   )
 
@@ -196,6 +211,35 @@ object AdvancedQueries {
          |pr AS (SELECT src AS r, dst AS m, wt FROM e UNION ALL SELECT dst, src, wt FROM e),
          |${ldaIter(1)},
          |${ldaIter(2)}
-         |SELECT id, k, round(n + 1e-9, 4) AS v FROM s2""".stripMargin
+         |SELECT id, k, round(n + 1e-9, 4) AS v FROM s2""".stripMargin,
+
+    "g_lda_topwords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS d, w, CAST(count(*) AS DOUBLE) AS wt
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY 1, 2),
+         |words AS (
+         |  SELECT w, 1000000 + row_number() OVER (ORDER BY w) - 1 AS wid
+         |  FROM (SELECT DISTINCT w FROM toks) q),
+         |e AS (SELECT d AS src, wid AS dst, wt FROM toks JOIN words USING (w)),
+         |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
+         |vv AS (SELECT count(*) AS v FROM words),
+         |gam AS (
+         |  SELECT wt, k, ${hexU("md5(CAST(wt AS BIGINT) || ':' || k)")} AS g
+         |  FROM (SELECT DISTINCT wt FROM e) q CROSS JOIN ks),
+         |gamn AS (SELECT wt, k, g / sum(g) OVER (PARTITION BY wt) AS gn FROM gam),
+         |pairs0 AS (SELECT src AS id, wt FROM e UNION ALL SELECT dst, wt FROM e),
+         |s0 AS (
+         |  SELECT p.id, g.k, sum(g.gn * p.wt) AS n
+         |  FROM pairs0 p JOIN gamn g ON g.wt = p.wt GROUP BY 1, 2),
+         |pr AS (SELECT src AS r, dst AS m, wt FROM e UNION ALL SELECT dst, src, wt FROM e),
+         |${ldaIter(1)},
+         |${ldaIter(2)}
+         |SELECT k, rank, id, v FROM (
+         |  SELECT k, id, round(n + 1e-9, 4) AS v,
+         |         row_number() OVER (PARTITION BY k ORDER BY round(n + 1e-9, 4) DESC, id) AS rank
+         |  FROM s2 WHERE id >= 1000000) t
+         |WHERE rank <= 5""".stripMargin
   )
 }

@@ -36,6 +36,14 @@ object PipelineQueries {
         .filter(col("n_docs") > 1)
     }),
 
+    // cap-drop visibility: the SAME banding as d_lsh_buckets with a tight
+    // cap — the coverage row reports exactly what the cap would exclude
+    "d_lsh_coverage" -> ((s, dir) => {
+      val sig = Dedup.minHash(Dedup.shingles(
+        docs(s, dir).filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"), 2), 8)
+      Dedup.lshCoverage(Dedup.lshBands(sig, 8, 8), maxBucket = 2)
+    }),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"), 16)),
 
@@ -53,6 +61,14 @@ object PipelineQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshNearDup(v, 0.35, bands = 16, planes = 2, maxBucket = 500)
         .select("a", "b", "cos")
+    }),
+
+    // cap-drop visibility for the embedding side: same banding as
+    // d_embed_neardup, tight cap
+    "s_lsh_coverage" -> ((s, dir) => {
+      val v = vecs(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bandedCoverage(v, bands = 16, planes = 2, maxBucket = 10)
     }),
 
     "s_ann_topk" -> ((s, dir) => {
@@ -119,6 +135,21 @@ object PipelineQueries {
         |SELECT band, bucket, count(*) AS n_docs FROM bands
         |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin),
 
+    "d_lsh_coverage" -> (shingleSql(20, 2) +
+      """, mh AS (
+        |  SELECT doc_id AS id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) hs
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT CAST(floor(h / 1.0) AS INT) AS band, id,
+        |         md5(string_agg(minhash, ',' ORDER BY h)) AS bucket
+        |  FROM mh GROUP BY 1, 2),
+        |sized AS (SELECT band, bucket, count(*) AS bsz FROM bands GROUP BY 1, 2)
+        |SELECT CAST(sum(bsz) AS BIGINT) AS n_rows, count(*) AS n_buckets,
+        |  CAST(sum(CASE WHEN bsz > 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+        |  CAST(sum(CASE WHEN bsz > 2 THEN bsz ELSE 0 END) AS BIGINT) AS dropped_rows
+        |FROM sized""".stripMargin),
+
     "d_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, md5(tok) AS hx
@@ -171,6 +202,28 @@ object PipelineQueries {
         |  round(list_cosine_similarity(CAST(va.e AS DOUBLE[]), CAST(vb.e AS DOUBLE[])) + 1e-9, 6) AS cos
         |  FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b)
         |SELECT a, b, cos FROM scored WHERE cos >= 0.35""".stripMargin,
+
+    "s_lsh_coverage" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 10 = 0),
+        |dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |q AS (SELECT id, dims.d, CAST(round(CAST(e[dims.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |      FROM v CROSS JOIN dims),
+        |bp AS (SELECT b AS band, p FROM (SELECT unnest(generate_series(0, 15)) AS b) bb
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS p) pp),
+        |signs AS (SELECT band, p, dims.d,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(band || ':' || p || ':' || dims.d), 1, 1)) - 1) % 2 = 0
+        |       THEN 1 ELSE -1 END AS sg
+        |  FROM bp CROSS JOIN dims),
+        |sums AS (SELECT q.id, s.band, s.p, sum(q.qv * s.sg) AS t
+        |         FROM q JOIN signs s ON s.d = q.d GROUP BY 1, 2, 3),
+        |buckets AS (SELECT id, band,
+        |  CAST(sum(CASE WHEN t > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM sums GROUP BY 1, 2),
+        |sized AS (SELECT band, bucket, count(*) AS bsz FROM buckets GROUP BY 1, 2)
+        |SELECT CAST(sum(bsz) AS BIGINT) AS n_sigs, count(*) AS n_buckets,
+        |  CAST(sum(CASE WHEN bsz > 10 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+        |  CAST(sum(CASE WHEN bsz > 10 THEN bsz ELSE 0 END) AS BIGINT) AS dropped_sigs
+        |FROM sized""".stripMargin,
 
     "s_ann_topk" ->
       """WITH scored AS (

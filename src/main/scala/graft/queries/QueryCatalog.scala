@@ -66,6 +66,30 @@ object QueryCatalog {
         .select(col("src"), col("dst"), col("weight").as("new_weight"))
     }),
 
+    // remaining §2.5 transforms, all deterministic + SQL-replayable:
+    // create_bidirectional_edges on the bucket chains
+    "e_bidir" -> ((s, dir) =>
+      EdgeOps.bidirectional(bucketEdges(events(s, dir)))
+        .select(col("src"), col("dst"), round(col("weight") + 1e-9, 6).as("weight"))),
+    // shuffle_edges: redistribution must not change the row multiset (the
+    // driver's compare sorts rows, so this IS the partition-invariance check)
+    "e_shuffle" -> ((s, dir) =>
+      EdgeOps.shuffleBySrc(bucketEdges(events(s, dir)), 7)
+        .select(col("src"), col("dst"), round(col("weight") + 1e-9, 6).as("weight"))),
+    // randomize_edgelist_square under an md5 hash order (cross-engine seed)
+    "e_permute" -> ((s, dir) =>
+      EdgeOps.permuteIdsBy(richEdges(events(s, dir)),
+          id => md5(id.cast("string")))
+        .select("src", "dst")),
+    // remove_empty_columns: compact dst ids to dense 1..k
+    "e_compact" -> ((s, dir) =>
+      EdgeOps.compactDstIds(bucketEdges(events(s, dir)))._1
+        .select(col("src"), col("dst"), round(col("weight") + 1e-9, 6).as("weight"))),
+    // filter_edges_by_row: row-block extraction with re-based src
+    "e_rowblock" -> ((s, dir) =>
+      EdgeOps.filterByRow(bucketEdges(events(s, dir)), 100L, 900L)
+        .select(col("src"), col("dst"), round(col("weight") + 1e-9, 6).as("weight"))),
+
     // ---- graph algorithms over the events-derived link graph ----
     "g_degree" -> ((s, dir) =>
       Degree.outDegrees(richGraph(s, dir)).select(col("id"), col("degree"))),
@@ -148,6 +172,26 @@ object QueryCatalog {
       "SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst"),
     "e_dims" -> (EventGraph.sqlBase +
       "SELECT max(src) AS m, max(dst) AS n FROM rich"),
+    "e_bidir" -> (EventGraph.sqlBase +
+      """SELECT src, dst, round(weight + 1e-9, 6) AS weight FROM bucket
+        |UNION ALL
+        |SELECT dst, src, round(weight + 1e-9, 6) AS weight FROM bucket""".stripMargin),
+    "e_shuffle" -> (EventGraph.sqlBase +
+      "SELECT src, dst, round(weight + 1e-9, 6) AS weight FROM bucket"),
+    "e_permute" -> (EventGraph.sqlBase +
+      """, ids AS (SELECT DISTINCT id FROM (SELECT src AS id FROM rich UNION ALL SELECT dst FROM rich)),
+        |mapping AS (SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS nid FROM ids)
+        |SELECT ms.nid AS src, md.nid AS dst
+        |FROM rich JOIN mapping ms ON ms.id = rich.src JOIN mapping md ON md.id = rich.dst""".stripMargin),
+    "e_compact" -> (EventGraph.sqlBase +
+      """, mapping AS (
+        |  SELECT old, row_number() OVER (ORDER BY old) AS nid
+        |  FROM (SELECT DISTINCT dst AS old FROM bucket) q)
+        |SELECT b.src, m.nid AS dst, round(b.weight + 1e-9, 6) AS weight
+        |FROM bucket b JOIN mapping m ON m.old = b.dst""".stripMargin),
+    "e_rowblock" -> (EventGraph.sqlBase +
+      """SELECT src - 100 AS src, dst, round(weight + 1e-9, 6) AS weight
+        |FROM bucket WHERE src >= 100 AND src < 900""".stripMargin),
     "e_applyedges" -> (EventGraph.sqlBase +
       """, deg AS (SELECT src AS id, count(*) AS d FROM bucket GROUP BY 1)
         |SELECT b.src, b.dst,
