@@ -128,21 +128,41 @@ object DeltaStepping {
       when(col("id") === source, 0.0).otherwise(inf).as("dist"),
       when(col("id") === source, 0L).otherwise(Long.MaxValue).as("bucket"))
 
-    var bid = 0
-    var nonEmpty = true
-    while (nonEmpty && bid < maxBuckets) {
+    // Driver-loop deviations from the reference (same fixpoint, fewer jobs):
+    //  - ONE tiny aggregate on the already-materialized state both probes
+    //    for termination AND finds the NEXT nonempty bucket, so empty
+    //    buckets cost nothing (the reference increments bid by 1 and spins
+    //    a full light+heavy pass through every empty bucket, `:163-178`;
+    //    processing an empty bucket is a provable no-op: every vertex sends
+    //    +inf, which never relaxes).
+    //  - each round frees the previous round's checkpointed states (their
+    //    storage is RDD-level, invisible to Dataset.unpersist) — without
+    //    this a many-bucket run pins one state snapshot per phase per round.
+    val sc = graph.edges.sparkSession.sparkContext
+    var prevRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
+    var bid = 0L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxBuckets) {
+      val rddsBefore = sc.getPersistentRDDs.keySet
       // light phase to convergence (setAllActive before each run, `:166`)
       val light = Superstep.run(lightG, state.withColumn("active", lit(true)),
-        spec(bid, -1))
+        spec(bid.toInt, -1))
       // heavy phase, exactly one superstep (`:170-171`)
       val heavy = Superstep.run(heavyG, light.state.withColumn("active", lit(true)),
-        spec(bid, 1))
+        spec(bid.toInt, 1))
       state = heavy.state
-      bid += 1
-      nonEmpty = state.filter(col("bucket") >= bid && col("bucket") =!= Long.MaxValue)
-        .limit(1).count() > 0
+      rounds += 1
+      val nxt = state.agg(
+        min(when(col("bucket") > bid && col("bucket") =!= Long.MaxValue,
+          col("bucket"))).as("nxt")).head()
+      prevRdds.foreach(_.unpersist(blocking = false))
+      prevRdds = sc.getPersistentRDDs.collect {
+        case (id, r) if !rddsBefore.contains(id) => r
+      }
+      if (nxt.isNullAt(0)) done = true else bid = nxt.getLong(0)
     }
-    (state.select("id", "dist", "bucket"), bid)
+    (state.select("id", "dist", "bucket"), rounds)
   }
 }
 

@@ -84,13 +84,22 @@ final class LinkGraph private (
 
   /** Hub endpoints on `key` (src|dst): degree above the hot threshold. One
     * aggregate over the edges, computed lazily and memoized; by definition
-    * the result is small (otherwise the threshold is wrong). */
+    * the result is small (otherwise the threshold is wrong). Guard: the hub
+    * list feeds `isInCollection` filters (rebuilt in three Catalyst plans per
+    * superstep) and a broadcast of the hub edge shards — past `maxHubs` that
+    * degrades planning instead of helping, and a "hub" list that large means
+    * the threshold is miscalibrated for this degree distribution (they are
+    * not really hubs). Fall back to the plain pre-partitioned join, which is
+    * the right plan exactly then. Mirrors GatherScatter.build's hard cap. */
   def hotIds(key: String): Array[Long] = synchronized {
     hotCache.getOrElseUpdate(key, {
       if (hotDegree < 0) Array.emptyLongArray
-      else edges.groupBy(col(key)).count()
-        .filter(col("count") > effectiveHotDegree)
-        .select(col(key)).collect().map(_.getLong(0)).sorted
+      else {
+        val hot = edges.groupBy(col(key)).count()
+          .filter(col("count") > effectiveHotDegree)
+          .select(col(key)).limit(maxHubs + 1).collect().map(_.getLong(0)).sorted
+        if (hot.length > maxHubs) Array.emptyLongArray else hot
+      }
     })
   }
 
@@ -169,6 +178,9 @@ final class LinkGraph private (
 }
 
 object LinkGraph {
+
+  /** Hub-split fallback bound — see `hotIds`. */
+  val maxHubs: Int = 4096
 
   /** Build from any DataFrame with (src, dst[, weight]) columns. */
   def apply(edges: DataFrame, numPartitions: Int = 0, hotDegree: Long = 0L): LinkGraph = {

@@ -64,15 +64,17 @@ object GatherScatter {
     if (h < 0) h + n else h
   }
 
-  /** Partitioner routing Long keys through the mixer. */
-  final class MixPartitioner(val n: Int) extends Partitioner {
+  /** Partitioner routing Long keys through the mixer. `shift` drops the low
+    * `shift` id bits before hashing: ids sharing high bits co-locate (see
+    * `build`'s keyShift). */
+  final class MixPartitioner(val n: Int, val shift: Int = 0) extends Partitioner {
     def numPartitions: Int = n
-    def getPartition(key: Any): Int = partOf(key.asInstanceOf[Long], n)
+    def getPartition(key: Any): Int = partOf(key.asInstanceOf[Long] >>> shift, n)
     override def equals(o: Any): Boolean = o match {
-      case p: MixPartitioner => p.n == n
+      case p: MixPartitioner => p.n == n && p.shift == shift
       case _ => false
     }
-    override def hashCode: Int = n
+    override def hashCode: Int = n * 31 + shift
   }
 
   /**
@@ -250,8 +252,21 @@ object GatherScatter {
    * Build the static structures once. `hotDegree` <= 0 picks an automatic
    * threshold (a src is "hot" when its edge list exceeds a quarter of an
    * average partition — only then does splitting beat locality).
+   *
+   * `keyShift` is the locality knob of the north rule's "range/hash-
+   * partitioned" clause: vertices route by `mix(id >>> keyShift)`, so ids
+   * sharing their high bits land in one partition. Transcript vertex ids are
+   * hierarchical (`convOrd * 2^20 + turn_idx`, Transcripts.vertices), and
+   * every reply/tool edge is intra-conversation — keyShift=20 therefore
+   * makes the gather target of every edge the edge's OWN partition: the
+   * per-superstep all-to-all carries (near) zero cross-executor bytes, while
+   * load stays balanced because conversation ordinals are dense and hashed.
+   * This is the Spark analog of GraphMat's cache-blocking vertex permutation
+   * (`Graph.h:111-150`) lifted to the cluster level. 0 = pure hash (the
+   * right default for ids with no exploitable structure).
    */
-  def build(graph: LinkGraph, numPartitions: Int = 0, hotDegree: Long = 0L): PrGraph = {
+  def build(graph: LinkGraph, numPartitions: Int = 0, hotDegree: Long = 0L,
+            keyShift: Int = 0): PrGraph = {
     val n = if (numPartitions > 0) numPartitions else graph.numPartitions
     val idPart = new IdPartitioner(n)
     val sc = graph.edges.sparkSession.sparkContext
@@ -293,10 +308,11 @@ object GatherScatter {
     // hot edges by dst (split across partitions, co-located with receivers)
     val routed: RDD[(Long, Long)] = edgePairs
       .map { e => (if (hotBc.value.getOrNaN(e._1).isNaN) e._1 else e._2, e) }
-      .partitionBy(new MixPartitioner(n))
+      .partitionBy(new MixPartitioner(n, keyShift))
       .map(_._2)
 
     val nLoc = n // plain local so closures don't capture the outer object
+    val shiftLoc = keyShift
     val csr: RDD[CsrBlock] = routed
       .mapPartitionsWithIndex({ (p, it) =>
         val hot = hotBc.value
@@ -360,7 +376,7 @@ object GatherScatter {
         i = 0
         while (i < m) {
           val s = srcA(i); val d = dstA(i)
-          val tp = partOf(d, nTp)
+          val tp = partOf(d >>> shiftLoc, nTp)
           val gHot = hot.getOrNaN(s)
           if (gHot.isNaN) {
             val oi = outIdxOf(tp, d) // creates the bucket (incl. ebuf) if new
@@ -432,7 +448,7 @@ object GatherScatter {
     // were scattered elsewhere
     val hotHomeRdd: RDD[Array[Long]] = sc
       .parallelize(hotIds.map(id => (id, null: Null)).toSeq, math.max(n / 4, 1))
-      .partitionBy(new MixPartitioner(n))
+      .partitionBy(new MixPartitioner(n, keyShift))
       .mapPartitions(it => Iterator.single(it.map(_._1).toArray),
         preservesPartitioning = true)
 
@@ -526,6 +542,13 @@ object GatherScatter {
 
     val nV = vertsAndIdx.map(_._1.ids.length.toLong).sum().toLong
     edgePairs.unpersist(blocking = false)
+    // free executor-side copies of the build-time broadcasts: every RDD that
+    // reads them is materialized above. unpersist, NOT destroy — a lineage
+    // recomputation (cache eviction under pressure, executor loss) replays
+    // the closures, and an unpersisted broadcast is re-shipped from the
+    // driver on demand where a destroyed one would crash the replay.
+    hotBc.unpersist(blocking = false)
+    hotDegBc.unpersist(blocking = false)
     PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV, Some(vertsAndIdx))
   }
 
@@ -626,17 +649,16 @@ object GatherScatter {
   }
 
   /** One superstep: gather → all-to-all → dense apply. Returns the new rank
-    * vectors and (when `tol` >= 0) counts vertices that moved more than tol. */
+    * vectors and (when `tol` >= 0) counts vertices that moved more than tol.
+    * `hotPr` is the per-superstep hub mirror (null on hubless graphs, never
+    * dereferenced then); the caller owns it and unpersists it after the
+    * superstep materializes. */
   private def superstep(g: PrGraph, ranks: RDD[Array[Double]], alpha: Double,
                         tol: Double,
-                        changedAcc: Option[org.apache.spark.util.LongAccumulator])
+                        changedAcc: Option[org.apache.spark.util.LongAccumulator],
+                        hotPr: Broadcast[Array[Double]])
   : RDD[Array[Double]] = {
-    val sc = ranks.sparkContext
     val idPart = new IdPartitioner(g.numPartitions)
-    // mirror broadcast only when hubs exist; null is never dereferenced then
-    // (no partition holds hot-shard edges)
-    val hotPr: Broadcast[Array[Double]] =
-      if (g.hotIds.isEmpty) null else sc.broadcast(hotMirror(g, ranks))
     val exchanged = gatherPhase(ranks, g, hotPr).partitionBy(idPart)
     exchanged.zipPartitions(g.inIdx, g.verts, ranks, preservesPartitioning = true) {
       (pIt, iIt, vIt, oIt) =>
@@ -659,6 +681,12 @@ object GatherScatter {
           i += 1
         }
         while (i < nV) { newPr(i) = old(i); i += 1 } // in-degree-0: never receive
+        // accumulator updated inside a TRANSFORMATION: a task retry or
+        // speculative duplicate can double-count moved vertices. That error
+        // is one-sided by construction — the stop rule is `changed == 0`, and
+        // duplication can only inflate a nonzero count (delaying convergence
+        // by one extra superstep), never fabricate zero from nonzero — so
+        // correctness of the fixpoint is unaffected.
         changedAcc.foreach(_.add(changed))
         Iterator.single(newPr)
     }
@@ -706,6 +734,7 @@ object GatherScatter {
     } else {
       // hub graphs need the per-superstep mirror broadcast (a driver action),
       // so each superstep is materialized
+      val sc = g.csr.sparkContext
       var ranks = initRanks(g).persist(StorageLevel.MEMORY_AND_DISK)
       ranks.count()
       var prev = ranks
@@ -713,10 +742,16 @@ object GatherScatter {
       val iterLog = sys.env.contains("SPARK_GRAFT_ITERLOG")
       while (it < iterations) {
         val t0 = if (iterLog) System.nanoTime() else 0L
-        val newRanks = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None)
+        val hotPr = sc.broadcast(hotMirror(g, ranks))
+        val newRanks = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None,
+            hotPr)
           .persist(StorageLevel.MEMORY_AND_DISK)
         if ((it + 1) % checkpointEvery == 0) newRanks.localCheckpoint()
         newRanks.count()
+        // free the mirror's executor copies now that the superstep is
+        // materialized (unpersist, not destroy — see build()); without this a
+        // long run accumulates one broadcast per superstep until GC
+        hotPr.unpersist(blocking = false)
         if (iterLog) println(f"[iter] superstep $it: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         prev.unpersist(blocking = false)
         prev = newRanks
@@ -745,9 +780,12 @@ object GatherScatter {
     var converged = false
     while (!converged && it < maxIterations) {
       val changedAcc = sc.longAccumulator(s"changed-$it")
-      val newRanks = superstep(g, ranks, alpha, tol, Some(changedAcc))
+      val hotPr = if (g.hotIds.isEmpty) null
+                  else sc.broadcast(hotMirror(g, ranks))
+      val newRanks = superstep(g, ranks, alpha, tol, Some(changedAcc), hotPr)
         .persist(StorageLevel.MEMORY_AND_DISK)
       newRanks.count()
+      if (hotPr != null) hotPr.unpersist(blocking = false)
       prev.unpersist(blocking = false)
       prev = newRanks
       ranks = newRanks

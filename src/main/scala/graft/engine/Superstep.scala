@@ -161,10 +161,17 @@ object Superstep {
 
     // `cached` is always the exact DataFrame persist() was called on (the
     // only handle unpersist() frees); `state` may be a cheap projection of it.
+    // localCheckpoint()ed states need separate handling: their storage is an
+    // RDD-level persist that Dataset.unpersist (a CacheManager lookup) cannot
+    // free, so we capture the backing RDD handles via a before/after diff of
+    // getPersistentRDDs and unpersist those directly — otherwise every
+    // superstep's serialized blocks linger until driver GC notices.
+    val sc = spark.sparkContext
     var cached = init.repartition(n, col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
     var state = cached
+    var cachedRdds: Iterable[org.apache.spark.rdd.RDD[_]] = Nil
 
     val metrics = ArrayBuffer[IterationMetrics](priorMetrics: _*)
     var iter = startIteration
@@ -206,12 +213,17 @@ object Superstep {
       // ~|V| live row objects resident per superstep and G1 old-gen collection
       // dominates task time (measured 70-90% GC); serialized = one byte
       // buffer per partition block.
+      val rddsBefore = sc.getPersistentRDDs.keySet
       val persisted = applied.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val changed =
         if (spec.trackChanges) persisted.filter(col("_changed")).count()
         else -1L
 
       cached.unpersist()
+      cachedRdds.foreach(_.unpersist(blocking = false))
+      cachedRdds = sc.getPersistentRDDs.collect {
+        case (id, r) if !rddsBefore.contains(id) => r
+      }
       cached = persisted
       state = persisted.drop("_changed")
 
@@ -223,6 +235,8 @@ object Superstep {
         case Some(c) if iter % c.every == 0 || converged =>
           val reloaded = snapshot(c, iter, state, metrics.toSeq)
           cached.unpersist()
+          cachedRdds.foreach(_.unpersist(blocking = false))
+          cachedRdds = Nil
           cached = reloaded
           state = reloaded
         case _ => // durable snapshots only at the configured cadence

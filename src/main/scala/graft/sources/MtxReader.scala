@@ -74,6 +74,15 @@ object MtxReader {
     val rows = edges.select("src", "dst", "weight").collect()
     val dimM = if (m > 0) m else rows.iterator.map(_.getLong(0)).foldLeft(0L)(math.max)
     val dimN = if (n > 0) n else rows.iterator.map(_.getLong(1)).foldLeft(0L)(math.max)
+    // the format is int32 throughout; out-of-range inputs must fail loudly,
+    // not wrap (ids) or overflow the buffer size (nnz past ~178M records)
+    require(dimM <= Int.MaxValue && dimN <= Int.MaxValue,
+      s"mtx dims ($dimM x $dimN) exceed the format's int32 range")
+    require(rows.length <= (Int.MaxValue - 12) / 12,
+      s"${rows.length} edges exceed the single-buffer writer's capacity; this writer is fixture-scale")
+    require(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= Int.MaxValue &&
+                             r.getLong(1) >= 0 && r.getLong(1) <= Int.MaxValue),
+      "edge endpoints must fit in the format's int32 range")
     val buf = ByteBuffer.allocate((if (header) 12 else 0) + rows.length * 12)
       .order(ByteOrder.LITTLE_ENDIAN)
     if (header) { buf.putInt(dimM.toInt); buf.putInt(dimN.toInt); buf.putInt(rows.length) }
