@@ -5,32 +5,40 @@ import org.apache.spark.sql.SparkSession
 import graft.algos.PageRank
 import graft.core.{LinkGraph, Transcripts}
 import graft.engine.GatherScatter
+import graft.tools.ClusterProbe
 
 /**
  * Round benchmark. Prints ONE JSON line:
- *   {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},"sf":...,
- *    "pagerank":{...},"pagerank_sql":{...},"scaling":{...},"scaling_8_32":{...}}
+ *   {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},
+ *    "query_errors":{...},"cache_leaks":N,"sf":...,
+ *    "pagerank":{...},"pagerank_sql":{...},
+ *    "scaling":{...},"scaling_8_32":{...},"isolation_tax":{...}}
  *
  * Headline (BASELINE.json): PageRank superstep throughput in edges/sec on a
  * transcript-derived edge table, via the CSR gather-scatter path
- * (engine/GatherScatter.scala), measured at two parallelism levels on the
- * SAME input as this sandbox's proxy for N vs 4N executors; scaling
- * efficiency = (T_N / T_4N) / 4.
+ * (engine/GatherScatter.scala).
  *
- * Scaling-pair design: the measured pair is 1 vs 4 threads over a 3M-conv
- * (~19.5M-edge) graph — large enough that per-superstep kernel work dominates
- * Spark's fixed per-superstep costs (task launch, job scheduling), which do
- * not parallelize and would otherwise swamp the signal. Past ~8 threads a
- * single-JVM "cluster" measures one memory controller's bandwidth rather
- * than the partitioning design (each real executor brings its own DRAM), so
- * the 8->32 pair is reported as a secondary diagnostic, not the proxy; full
- * analysis in BASELINE.md "Scaling". Shuffle compression is off: the
- * exchange ships packed high-entropy Array[Double], where lz4 costs CPU for
- * no size win (measured ~2x shuffle-write time).
+ * Scaling evidence (north rule: ">=0.8 efficiency from N to 4N executors"):
+ * measured under `local-cluster[n,cores,mem]` — REAL separate executor JVMs
+ * (own heaps, real Netty shuffle/broadcast), the closest in-sandbox analog of
+ * a multi-executor standalone cluster:
+ *  - "scaling": 1 executor x 4 cores vs 4 executors x 4 cores, same
+ *    32.5M-edge graph, same 16 partitions.
+ *  - "scaling_8_32": 2x4 vs 8x4 executors (8 vs 32 cores) on the headline
+ *    graph — the round-2 thread-mode diagnostic re-measured under executor
+ *    isolation.
+ *  - "isolation_tax": 1x8 vs 4x2 — SAME total cores, same input, same
+ *    partitions; only the number of JVM boundaries the per-superstep
+ *    exchange crosses differs. On one physical machine every extra executor
+ *    adds remote-shuffle CPU without adding DRAM bandwidth or a NIC, so this
+ *    pair isolates the per-boundary cost that a real multi-NODE cluster
+ *    amortizes with added hardware. Full analysis in BASELINE.md "Scaling".
  *
  * Every leg builds fresh, measures best-of-k back-to-back repetitions (this
  * sandbox VM shows multi-x wall-clock noise; the minimum is the least-
- * contended estimate), and unpersists everything before returning.
+ * contended estimate), and unpersists everything before returning. Shuffle
+ * compression is off: the exchange ships packed high-entropy Array[Double],
+ * where lz4 costs CPU for no size win (measured ~2x shuffle-write time).
  */
 object Bench {
 
@@ -56,12 +64,13 @@ object Bench {
     * window = the superstep loop only (CSR build and JIT warm excluded). */
   private def fastBench(spark: SparkSession, edgePath: String,
                         iters: Int, warmIters: Int, reps: Int,
-                        numPartitions: Int = 32): (Long, Int, Double, Double) = {
+                        numPartitions: Int = 32, keyShift: Int = 0): (Long, Int, Double, Double) = {
     val graph = LinkGraph(spark.read.parquet(edgePath))
     // fixed partition count across scaling legs: identical cache blocks and
-    // shuffle structure, only the thread count varies (as on a real cluster,
-    // where the partitioning wouldn't change with executor count)
-    val g = GatherScatter.build(graph, numPartitions = numPartitions)
+    // shuffle structure, only the executor/thread count varies (as on a real
+    // cluster, where the partitioning wouldn't change with executor count)
+    val g = GatherScatter.build(graph, numPartitions = numPartitions,
+      keyShift = keyShift)
     GatherScatter.pageRank(g, 0.3, warmIters).unpersist(false)
     val sec = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
@@ -73,6 +82,18 @@ object Bench {
     g.unpersist()
     graph.unpersistAll()
     (g.numEdges, iters, sec, g.numEdges.toDouble * iters / sec)
+  }
+
+  /** One local-cluster leg: fresh executor JVMs, fastBench, teardown. */
+  private def clusterLeg(execs: Int, cores: Int, memMb: Int, edgePath: String,
+                         nParts: Int, iters: Int, reps: Int,
+                         keyShift: Int = 0): (Long, Int, Double, Double) = {
+    val s = ClusterProbe.clusterSession(execs, cores, memMb)
+    try {
+      ClusterProbe.awaitExecutors(s, execs)
+      fastBench(s, edgePath, iters, warmIters = 2, reps = reps,
+        numPartitions = nParts, keyShift = keyShift)
+    } finally s.stop()
   }
 
   /** Column-algebra engine PageRank superstep throughput (per-iteration
@@ -89,6 +110,26 @@ object Bench {
     graph.unpersistAll()
     (edges, iters, sec, edges.toDouble * iters / sec)
   }
+
+  /** Drop every cached plan and RDD (cross-query hygiene). Returns (swept,
+    * survivors): `swept` = persistent RDDs the query's lifetime held (its
+    * result state, graph views — informational), `survivors` = RDDs STILL
+    * persisted after the sweep, which must be 0 — that is the "no cache
+    * pollution between legs" assertion, reported loud in the bench JSON. */
+  private def sweepCaches(spark: SparkSession): (Int, Int) = {
+    val swept = spark.sparkContext.getPersistentRDDs.size
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    (swept, spark.sparkContext.getPersistentRDDs.size)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,26 +149,29 @@ object Bench {
       .write.mode("overwrite").parquet(scalePath)
     gen.stop()
 
-    // N vs 4N parallelism, same (kernel-dominated) input; 16 partitions fixed
-    // across the pair (a 1-4-executor cluster would not run 32 partitions,
-    // and per-superstep task-launch overhead does not parallelize)
-    val s1 = session(1)
-    val (eS, itS, sec1, eps1) = fastBench(s1, scalePath, iters = 5, warmIters = 2,
-      reps = 3, numPartitions = 16)
-    s1.stop()
-    val s4 = session(4)
-    val (_, _, sec4, eps4) = fastBench(s4, scalePath, iters = 5, warmIters = 2,
-      reps = 3, numPartitions = 16)
-    s4.stop()
-    // secondary diagnostic pair on the headline graph (memory-bound past ~8)
-    val s8 = session(8)
-    val (e8, it8, sec8, eps8) = fastBench(s8, edgePath, iters = 10, warmIters = 2, reps = 2)
-    s8.stop()
+    // ---- N -> 4N EXECUTORS (the north rule's pair), real executor JVMs ----
+    // (a) deployment partitioning: conversation-co-located (keyShift=20) —
+    //     intra-conversation edges never cross an executor
+    val (eC, itC, secC1, epsC1) = clusterLeg(1, 4, 6144, scalePath, nParts = 16, iters = 10, reps = 3, keyShift = 20)
+    val (_, _, secC4, epsC4) = clusterLeg(4, 4, 6144, scalePath, nParts = 16, iters = 10, reps = 3, keyShift = 20)
+    val effC = (secC1 / secC4) / 4.0
+    // (b) adversarial partitioning: pure vertex hash — every edge's gather
+    //     target is a uniformly random partition (worst-case cut)
+    val (eS, itS, sec1, eps1) = clusterLeg(1, 4, 6144, scalePath, nParts = 16, iters = 5, reps = 3)
+    val (_, _, sec4, eps4) = clusterLeg(4, 4, 6144, scalePath, nParts = 16, iters = 5, reps = 3)
+    val eff14 = (sec1 / sec4) / 4.0
+    // ---- isolation tax: same 8 cores, 1 JVM vs 4 JVMs ----
+    val (_, _, secJvm1, epsJvm1) = clusterLeg(1, 8, 6144, scalePath, nParts = 16, iters = 5, reps = 3)
+    val (_, _, secJvm4, epsJvm4) = clusterLeg(4, 2, 6144, scalePath, nParts = 16, iters = 5, reps = 3)
+    // ---- 8 -> 32 cores as executors (round-2 diagnostic, isolated) ----
+    val (e8, it8, sec8, eps8) = clusterLeg(2, 4, 3072, edgePath, nParts = 32, iters = 10, reps = 2)
+    val (e32c, _, sec32c, eps32c) = clusterLeg(8, 4, 3072, edgePath, nParts = 32, iters = 10, reps = 2)
+    val eff832 = (sec8 / sec32c) / (32.0 / 8.0)
+
+    // ---- headline throughput + column engine + convergence, local[cpus] ----
     val s4N = session(cpus)
     val (e2, it2, sec32, eps32) = fastBench(s4N, edgePath, iters = 10, warmIters = 2, reps = 3)
     val (e4b, it4b, secSql, epsSql) = sqlBench(s4N, edgePath, iters = 5, warmIters = 2)
-    val eff14 = (sec1 / sec4) / 4.0
-    val eff832 = (sec8 * it2 / it8 / sec32) / 4.0
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -138,25 +182,50 @@ object Bench {
     convRanks.unpersist(false)
     gConv.unpersist()
     gcGraph.unpersistAll()
+    sweepCaches(s4N)
 
+    // ---- the full catalog, per-query status, no swallowed errors ----
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    var swept = 0
+    var leaks = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(s4N, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(s4N, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (sw, left) = sweepCaches(s4N) // queries must not pollute each other
+      swept += sw; leaks += left
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val qErrs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     val pr = f"""{"edges":$e2,"supersteps":$it2,"sec":$sec32%.3f,"edges_per_sec":$eps32%.0f,"cores":$cpus,"path":"gather-scatter",""" +
       f""""convergence":{"tol":1e-5,"iterations":$convIters,"sec":$convSec%.3f}}"""
     val prSql = f"""{"edges":$e4b,"supersteps":$it4b,"sec":$secSql%.3f,"edges_per_sec":$epsSql%.0f,"cores":$cpus,"path":"column-engine"}"""
-    val scaling = f"""{"cores_small":1,"cores_large":4,"supersteps":$itS,"sec_small":$sec1%.3f,"sec_large":$sec4%.3f,""" +
+    val scaling = f"""{"mode":"local-cluster","executors_small":1,"executors_large":4,"cores_per_executor":4,""" +
+      f""""partitioning":"conversation-colocated (keyShift=20)",""" +
+      f""""supersteps":$itC,"sec_small":$secC1%.3f,"sec_large":$secC4%.3f,""" +
+      f""""edges_per_sec_small":$epsC1%.0f,"edges_per_sec_large":$epsC4%.0f,"efficiency":$effC%.3f,""" +
+      f""""edges":$eC,"note":"1 vs 4 executor JVMs (4 cores, 6g each), 32.5M-edge transcript graph, fixed 16 partitions; transcript edges are intra-conversation so co-location makes the superstep exchange partition-local - the partitioning a production deployment would use (BASELINE.md Scaling)"}"""
+    val scalingHash = f"""{"mode":"local-cluster","executors_small":1,"executors_large":4,"cores_per_executor":4,""" +
+      f""""partitioning":"pure vertex hash (worst-case cut)",""" +
+      f""""supersteps":$itS,"sec_small":$sec1%.3f,"sec_large":$sec4%.3f,""" +
       f""""edges_per_sec_small":$eps1%.0f,"edges_per_sec_large":$eps4%.0f,"efficiency":$eff14%.3f,""" +
-      f""""edges":$eS,"note":"N=1 vs 4N=4 threads on a 32.5M-edge graph (kernel-dominated), one JVM, fixed 16 partitions; 8->32 diagnostic pair below; analysis in BASELINE.md"}"""
-    val scaling832 = f"""{"cores_small":8,"cores_large":$cpus,"supersteps":$it2,"sec_small":${sec8 * it2 / it8}%.3f,"sec_large":$sec32%.3f,""" +
-      f""""edges_per_sec_small":$eps8%.0f,"edges_per_sec_large":$eps32%.0f,"efficiency":$eff832%.3f,"edges":$e8,""" +
-      """"note":"single-JVM threads share one memory controller past ~8; diagnostic only"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":$pr,"pagerank_sql":$prSql,"scaling":$scaling,"scaling_8_32":$scaling832}""")
+      f""""edges":$eS,"note":"same pair with every edge crossing partitions; on ONE physical machine extra executors add remote-shuffle CPU but no DRAM/NIC, so this lower-bounds real-cluster behavior - see isolation_tax and BASELINE.md Scaling"}"""
+    val scaling832 = f"""{"mode":"local-cluster","executors_small":2,"executors_large":8,"cores_per_executor":4,""" +
+      f""""supersteps":$it8,"sec_small":$sec8%.3f,"sec_large":$sec32c%.3f,""" +
+      f""""edges_per_sec_small":$eps8%.0f,"edges_per_sec_large":$eps32c%.0f,"efficiency":$eff832%.3f,"edges":$e8,""" +
+      """"note":"8 vs 32 cores as separate executor JVMs on the headline graph; replaces the round-2 single-JVM thread diagnostic"}"""
+    val isoTax = f"""{"cores_total":8,"same_input":true,"same_partitions":16,""" +
+      f""""jvms_1_sec":$secJvm1%.3f,"jvms_4_sec":$secJvm4%.3f,""" +
+      f""""jvms_1_edges_per_sec":$epsJvm1%.0f,"jvms_4_edges_per_sec":$epsJvm4%.0f,""" +
+      f""""tax":${secJvm4 / secJvm1}%.2f,""" +
+      """"note":"identical work, only JVM-boundary count differs: the per-superstep exchange pays Spark's remote-shuffle path per boundary; a real multi-node cluster adds DRAM+NIC per executor, this machine cannot"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_errors":$qErrs,"caches_swept":$swept,"cache_leaks_after_sweep":$leaks,"sf":"$sfDir","pagerank":$pr,"pagerank_sql":$prSql,"scaling":$scaling,"scaling_hash":$scalingHash,"scaling_8_32":$scaling832,"isolation_tax":$isoTax}""")
     s4N.stop()
   }
 }

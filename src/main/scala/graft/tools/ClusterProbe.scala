@@ -24,7 +24,7 @@ object ClusterProbe {
   def clusterSession(execs: Int, cores: Int, memMb: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local-cluster[$execs,$cores,$memMb]")
       .appName(s"graft-cluster-$execs-$cores")
       .config("spark.executor.memory", s"${memMb}m")
@@ -35,35 +35,70 @@ object ClusterProbe {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc experiment knobs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  /** Block until `execs` executors register (driver is one map entry). */
+  def awaitExecutors(spark: SparkSession, execs: Int, timeoutMs: Long = 90000): Int = {
+    val sc = spark.sparkContext
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (sc.getExecutorMemoryStatus.size < execs + 1 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(200)
+    sc.getExecutorMemoryStatus.size - 1
   }
 
   def main(args: Array[String]): Unit = {
     val execs = args.headOption.map(_.toInt).getOrElse(2)
     val cores = args.lift(1).map(_.toInt).getOrElse(2)
     val memMb = args.lift(2).map(_.toInt).getOrElse(2048)
-    val convs = args.lift(3).map(_.toInt).getOrElse(20000)
+    val input = args.lift(3).getOrElse("20000") // conv count or edge-parquet path
+    val nParts = args.lift(4).map(_.toInt).getOrElse(execs * cores * 2)
+    val iters = args.lift(5).map(_.toInt).getOrElse(5)
+    val reps = args.lift(6).map(_.toInt).getOrElse(1)
+    val keyShift = args.lift(7).map(_.toInt).getOrElse(0)
 
     val spark = clusterSession(execs, cores, memMb)
-    val sc = spark.sparkContext
-    // wait for executors to register (driver is one entry in the map)
-    val deadline = System.currentTimeMillis() + 60000
-    while (sc.getExecutorMemoryStatus.size < execs + 1 &&
-           System.currentTimeMillis() < deadline) Thread.sleep(200)
-    val nExec = sc.getExecutorMemoryStatus.size - 1
+    val nExec = awaitExecutors(spark, execs)
     println(s"[probe] executors registered: $nExec (want $execs)")
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+      import org.apache.spark.scheduler._
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          val tm = si.taskMetrics
+          val sr = tm.shuffleReadMetrics
+          println(f"[stage] ${si.stageId}%4d ${si.name.take(36)}%-36s tasks=${si.numTasks}%3d wall=${wall}ms exec=${tm.executorRunTime}ms gc=${tm.jvmGCTime}ms deser=${tm.executorDeserializeTime}ms fetchWait=${sr.fetchWaitTime}ms remoteMB=${sr.remoteBytesRead / 1000000} serW=${tm.shuffleWriteMetrics.writeTime / 1000000}ms res=${tm.resultSerializationTime}ms")
+        }
+      })
+    }
 
-    val edges = Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(spark, convs)))
-    val g = GatherScatter.build(LinkGraph(edges), numPartitions = execs * cores * 2)
-    val t0 = System.nanoTime()
-    val ranks = GatherScatter.pageRank(g, 0.3, 5)
-    val sum = ranks.map(_.pr.sum).sum()
-    val nv = ranks.map(_.ids.length.toLong).sum()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[probe] edges=${g.numEdges} verts=$nv prSum=$sum%.6f sec=$dt%.2f eps=${g.numEdges * 5 / dt}%.0f")
-    ranks.unpersist(false)
+    val edges =
+      if (input.forall(_.isDigit))
+        Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(spark, input.toInt)))
+      else spark.read.parquet(input)
+    val g = GatherScatter.build(LinkGraph(edges), numPartitions = nParts,
+      keyShift = keyShift)
+    GatherScatter.pageRank(g, 0.3, 2).unpersist(false) // JIT warm
+    var best = Double.MaxValue
+    var sum = 0.0; var nv = 0L
+    for (r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val ranks = GatherScatter.pageRank(g, 0.3, iters)
+      val dt = (System.nanoTime() - t0) / 1e9
+      sum = ranks.map(_.pr.sum).sum()
+      nv = ranks.map(_.ids.length.toLong).sum().toLong
+      ranks.unpersist(false)
+      println(f"[probe] rep $r: $dt%.3f s")
+      if (dt < best) best = dt
+    }
+    println(f"[probe] edges=${g.numEdges} verts=$nv prSum=$sum%.6f sec=$best%.3f eps=${g.numEdges.toDouble * iters / best}%.0f parts=$nParts")
     g.unpersist()
     spark.stop()
     println("[probe] OK")

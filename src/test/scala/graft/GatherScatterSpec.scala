@@ -97,4 +97,24 @@ class GatherScatterSpec extends AnyFunSuite {
       assert(math.abs(p4(k) - p9(k)) < 1e-12, s"partition invariance, vertex $k")
     }
   }
+
+  test("conversation-locality partitioning (keyShift=20): identical ranks, zero-cut routing") {
+    val graph = Transcripts.toGraph(Transcripts.synthesize(s, 300))
+    val hashed = GatherScatter.build(graph, 4)
+    val coloc = GatherScatter.build(graph, 4, keyShift = 20)
+    val a = GatherScatter.toDF(s, GatherScatter.pageRank(hashed, 0.3, 8))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = GatherScatter.toDF(s, GatherScatter.pageRank(coloc, 0.3, 8))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    for ((k, v) <- a) assert(math.abs(b(k) - v) < 1e-12, s"keyShift parity, vertex $k")
+    // transcript edges are intra-conversation, and ids are convOrd<<20|turn:
+    // with keyShift=20 every gather target must be the edge's own partition
+    val crossTargets = coloc.csr.mapPartitionsWithIndex { (p, it) =>
+      val blk = it.next()
+      Iterator.single(blk.outIds.indices.count(tp => tp != p && blk.outIds(tp) != null))
+    }.sum()
+    assert(crossTargets === 0.0, "conversation partitioning must leave no cross-partition targets")
+    hashed.unpersist(); coloc.unpersist()
+  }
 }
