@@ -27,11 +27,11 @@ object SparkEntry {
     * + relational anchors) and the training-data pipeline operator set. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueryCatalog.queries ++ graft.queries.PipelineQueries.queries ++
-      graft.queries.AdvancedQueries.queries
+      graft.queries.AdvancedQueries.queries ++ graft.queries.StreamIoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.QueryCatalog.oracleSql ++ graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.AdvancedQueries.oracleSql
+      graft.queries.AdvancedQueries.oracleSql ++ graft.queries.StreamIoQueries.oracleSql
 }

@@ -48,6 +48,24 @@ import graft.core.LinkGraph
  */
 object GatherScatter {
 
+  /**
+   * Session confs the engine relies on for STABLE task placement under real
+   * executors. The superstep stage zips a ShuffledRDD with the cached graph
+   * blocks; with reduce-locality on, the two preferences can disagree (map
+   * output on one executor, cache on another), Spark unions them, and tasks
+   * alternate executors forever — measured as the ENTIRE per-superstep
+   * exchange going through remote shuffle (130–260 MB/superstep on the 32.5M
+   * edge bench graph) and a 3-5x superstep slowdown. Reduce-locality off
+   * makes the cached graph blocks the only preference, so map output, block
+   * cache and apply task stay on one executor and cross-JVM bytes equal the
+   * true partition cut. The generous locality wait keeps tasks waiting for
+   * their home executor instead of drifting on a GC pause (partitions are
+   * balanced, so no starvation).
+   */
+  val engineConfs: Map[String, String] = Map(
+    "spark.shuffle.reduceLocality.enabled" -> "false",
+    "spark.locality.wait" -> "30s")
+
   /** splitmix64 finalizer: every output bit depends on every input bit.
     * Structured vertex ids (e.g. convId<<20|turn) have near-zero low-bit
     * entropy, so low-bit hashing (java Long.hashCode % n) clusters
@@ -202,6 +220,10 @@ object GatherScatter {
       numVertices: Long,
       // the persisted RDD `verts`/`inIdx` are views of (kept for unpersist)
       private val combined: Option[RDD[(VertexMeta, Array[Array[Int]])]] = None) {
+    /** The one persisted (VertexMeta, inIdx) RDD — supersteps zip against
+      * this single handle so zipPartitions arity stays within bounds. */
+    def meta: RDD[(VertexMeta, Array[Array[Int]])] =
+      combined.getOrElse(verts.zip(inIdx))
     def unpersist(): Unit = {
       csr.unpersist(blocking = false)
       combined.foreach(_.unpersist(blocking = false))
@@ -271,48 +293,75 @@ object GatherScatter {
     val idPart = new IdPartitioner(n)
     val sc = graph.edges.sparkSession.sparkContext
 
-    // build makes several passes (degree sweep, routing, receiver sweep);
-    // cache the raw pairs once so upstream lineage (parquet scan or the full
-    // transcript-extraction pipeline) is not recomputed per pass
-    val edgePairs: RDD[(Long, Long)] = graph.edges.select("src", "dst").rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val numEdges = graph.numEdges
     val hotThreshold =
       if (hotDegree > 0) hotDegree
       else math.max(4096L, numEdges / n / 4)
 
     // degree-aware split: find srcs whose out-degree exceeds the threshold.
-    // One aggregate job over the edges, tiny result (hub count is small by
-    // definition — if it weren't, the threshold would be wrong, so cap it).
-    val hotIds: Array[Long] = edgePairs
-      .map(e => (e._1, 1L)).reduceByKey(new MixPartitioner(n), _ + _)
-      .filter(_._2 > hotThreshold).map(_._1).collect().sorted
+    // ONE Tungsten aggregate over the edge table (codegen'd partial+final
+    // count — no RDD tuple boxing), tiny result: ids AND global degrees of
+    // the hubs in a single pass (hub count is small by definition — if it
+    // weren't, the threshold would be wrong, so cap it).
+    import org.apache.spark.sql.functions.{col => c9, count => cnt}
+    val hotRows = graph.edges.groupBy(c9("src")).agg(cnt("*").as("d"))
+      .filter(c9("d") > hotThreshold).collect()
+    val hotIds: Array[Long] = hotRows.map(_.getLong(0)).sorted
     require(hotIds.length <= (1 << 20), s"hot-vertex list too large (${hotIds.length}); raise hotDegree")
     val hotSet = new LongDoubleMap(math.max(hotIds.length, 8))
     hotIds.zipWithIndex.foreach { case (id, i) => hotSet.put(id, i.toDouble) }
     val hotBc = sc.broadcast(hotSet)
     val nHot = hotIds.length
-
-    // global out-degree of each hot src (its edges are about to be scattered)
-    val hotDeg: Array[Double] =
-      if (nHot == 0) Array.emptyDoubleArray
-      else {
-        val m = edgePairs.filter(e => !hotBc.value.getOrNaN(e._1).isNaN)
-          .map(e => (e._1, 1L)).reduceByKey(_ + _).collect().toMap
-        hotIds.map(id => m(id).toDouble)
-      }
+    val hotDeg: Array[Double] = {
+      val m = hotRows.map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+      hotIds.map(m)
+    }
     val hotDegBc = sc.broadcast(hotDeg)
 
     // route: normal edges by src (edge list co-located with the src's rank),
-    // hot edges by dst (split across partitions, co-located with receivers)
-    val routed: RDD[(Long, Long)] = edgePairs
-      .map { e => (if (hotBc.value.getOrNaN(e._1).isNaN) e._1 else e._2, e) }
-      .partitionBy(new MixPartitioner(n, keyShift))
-      .map(_._2)
-
+    // hot edges by dst (split across partitions, co-located with receivers).
+    // The shuffle ships PACKED Array[Long] chunks ([s0,d0,s1,d1,...], one or
+    // few records per (input partition, target)) instead of 2|E| boxed Long
+    // tuples — at bench scale this build shuffle was 3-4x slower than the
+    // packed form and dominated by tuple allocation + GC.
     val nLoc = n // plain local so closures don't capture the outer object
     val shiftLoc = keyShift
+    val routed: RDD[(Int, Array[Long])] = graph.edges.select("src", "dst").rdd
+      .mapPartitions { it =>
+        val hot = hotBc.value
+        val bufs = new Array[Array[Long]](nLoc)
+        val lens = new Array[Int](nLoc)
+        var out = List.empty[(Int, Array[Long])]
+        val CHUNK = 1 << 21 // 16 MB of longs per emitted record, max
+        while (it.hasNext) {
+          val r = it.next()
+          val s = r.getLong(0); val d = r.getLong(1)
+          val key = if (hot.getOrNaN(s).isNaN) s else d
+          val tp = partOf(key >>> shiftLoc, nLoc)
+          var b = bufs(tp)
+          if (b == null) { b = new Array[Long](1 << 10); bufs(tp) = b }
+          if (lens(tp) == b.length) {
+            if (b.length >= CHUNK) {
+              out ::= (tp, b) // exactly full: emit and start a fresh chunk
+              b = new Array[Long](1 << 10); bufs(tp) = b; lens(tp) = 0
+            } else {
+              b = java.util.Arrays.copyOf(b, b.length << 1); bufs(tp) = b
+            }
+          }
+          // pairs are 2 slots; lens and capacities are even, so a pair never
+          // straddles a capacity boundary
+          b(lens(tp)) = s; b(lens(tp) + 1) = d; lens(tp) += 2
+        }
+        var tp = 0
+        while (tp < nLoc) {
+          if (bufs(tp) != null && lens(tp) > 0)
+            out ::= (tp, java.util.Arrays.copyOf(bufs(tp), lens(tp)))
+          tp += 1
+        }
+        out.iterator
+      }
+      .partitionBy(idPart)
+
     val csr: RDD[CsrBlock] = routed
       .mapPartitionsWithIndex({ (p, it) =>
         val hot = hotBc.value
@@ -320,13 +369,17 @@ object GatherScatter {
         var capE = 1 << 12
         var srcA = new Array[Long](capE); var dstA = new Array[Long](capE); var m = 0
         while (it.hasNext) {
-          val e = it.next()
-          if (m == capE) {
-            capE <<= 1
-            srcA = java.util.Arrays.copyOf(srcA, capE)
-            dstA = java.util.Arrays.copyOf(dstA, capE)
+          val chunk = it.next()._2
+          var ci = 0
+          while (ci < chunk.length) {
+            if (m == capE) {
+              capE <<= 1
+              srcA = java.util.Arrays.copyOf(srcA, capE)
+              dstA = java.util.Arrays.copyOf(dstA, capE)
+            }
+            srcA(m) = chunk(ci); dstA(m) = chunk(ci + 1); m += 1
+            ci += 2
           }
-          srcA(m) = e._1; dstA(m) = e._2; m += 1
         }
         // local (non-hot) srcs: all their edges are here, so local degree is global
         val degMap = new LongDoubleMap(1024)
@@ -541,7 +594,6 @@ object GatherScatter {
       vertsAndIdx.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
 
     val nV = vertsAndIdx.map(_._1.ids.length.toLong).sum().toLong
-    edgePairs.unpersist(blocking = false)
     // free executor-side copies of the build-time broadcasts: every RDD that
     // reads them is materialized above. unpersist, NOT destroy — a lineage
     // recomputation (cache eviction under pressure, executor loss) replays
@@ -550,6 +602,52 @@ object GatherScatter {
     hotBc.unpersist(blocking = false)
     hotDegBc.unpersist(blocking = false)
     PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV, Some(vertsAndIdx))
+  }
+
+  /**
+   * Preprocessed-graph snapshot — the CSR-level analog of the reference's
+   * WriteGraphMatBin/ReadGraphMatBin (`include/GMDP/...` via graph_converter):
+   * persist the BUILT structures so later runs (or other sessions) skip
+   * ingest+routing+layout entirely. One object file per partition for the
+   * edge blocks and the vertex/incoming-index metadata, plus a driver-side
+   * manifest with the global fields. `load` restores partition alignment by
+   * an explicit partitionBy on the stored partition ids.
+   */
+  def save(g: PrGraph, path: String): Unit = {
+    g.csr.mapPartitionsWithIndex((p, it) => it.map(b => (p, b)))
+      .saveAsObjectFile(s"$path/csr")
+    g.meta.mapPartitionsWithIndex((p, it) => it.map(m => (p, m)))
+      .saveAsObjectFile(s"$path/meta")
+    val oos = new java.io.ObjectOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$path/manifest.bin")))
+    try {
+      oos.writeInt(g.numPartitions); oos.writeLong(g.numEdges)
+      oos.writeLong(g.numVertices); oos.writeObject(g.hotIds)
+    } finally oos.close()
+  }
+
+  def load(spark: SparkSession, path: String): PrGraph = {
+    val sc = spark.sparkContext
+    val ois = new java.io.ObjectInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(s"$path/manifest.bin")))
+    val (n, nE, nV, hotIds) =
+      try (ois.readInt(), ois.readLong(), ois.readLong(),
+           ois.readObject().asInstanceOf[Array[Long]])
+      finally ois.close()
+    val idPart = new IdPartitioner(n)
+    val csr = sc.objectFile[(Int, CsrBlock)](s"$path/csr")
+      .partitionBy(idPart)
+      .mapPartitions(it => it.map(_._2), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    csr.count()
+    val meta = sc.objectFile[(Int, (VertexMeta, Array[Array[Int]]))](s"$path/meta")
+      .partitionBy(idPart)
+      .mapPartitions(it => it.map(_._2), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    meta.count()
+    val verts = meta.mapPartitions(it => it.map(_._1), preservesPartitioning = true)
+    val inIdx = meta.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
+    PrGraph(csr, verts, inIdx, hotIds, n, nE, nV, Some(meta))
   }
 
   /** Dense rank vectors, one Array[Double] per partition, aligned to VertexMeta.ids. */
@@ -617,28 +715,51 @@ object GatherScatter {
       Iterator.range(0, out.length).filter(out(_) != null).map(tp => (tp, (p, out(tp))))
     }
 
+  // ---- split exchange --------------------------------------------------
+  //
+  // A partition's contribution to ITSELF is most of the exchange whenever the
+  // partitioning has locality (keyShift co-location makes it ~all of it), and
+  // shipping it through the shuffle pays serialize + disk write + read even
+  // when the bytes never leave the executor. So each superstep SPLITS:
+  //  - the self-contribution stays in the lazily-persisted gather output
+  //    (deserialized MEMORY_AND_DISK = the live arrays, zero-copy) and the
+  //    apply stage reads it straight from the block cache;
+  //  - only tp != p records enter the shuffle, so cross-JVM bytes equal the
+  //    true partition cut.
+  // The caller owns the returned `gathered` handle and unpersists it once the
+  // superstep's consumer is materialized. Placement stays process-local under
+  // the engine confs (see engineConfs): reduce-locality off makes the cached
+  // graph blocks the ONLY preferred location, so map output, block cache and
+  // apply task never separate.
+
   /**
-   * One LAZY superstep for the fixed-iteration path: gather → all-to-all →
-   * dense apply, with in-degree-0 slots pinned to their initial 0.3 (they
+   * One LAZY superstep for the fixed-iteration path: gather → split exchange
+   * → dense apply, with in-degree-0 slots pinned to their initial 0.3 (they
    * never receive, so the previous vector need not be read). The input rank
-   * RDD is therefore consumed exactly ONCE, which lets the driver chain K
-   * supersteps into a single pipelined job — no per-superstep persist/count,
-   * no per-superstep job-scheduling overhead.
+   * RDD is consumed exactly ONCE, which lets the driver chain K supersteps
+   * into a single pipelined job — no per-superstep count, no per-superstep
+   * job-scheduling overhead. Returns (newRanks, gathered handle).
    */
   private def superstepLazy(g: PrGraph, ranks: RDD[Array[Double]],
-                            alpha: Double): RDD[Array[Double]] = {
+                            alpha: Double): (RDD[Array[Double]], RDD[_]) = {
     val idPart = new IdPartitioner(g.numPartitions)
-    val exchanged = gatherPhase(ranks, g, null).partitionBy(idPart)
-    exchanged.zipPartitions(g.inIdx, g.verts, preservesPartitioning = true) {
-      (pIt, iIt, vIt) =>
-        val inIdx = iIt.next(); val vm = vIt.next()
+    val gathered = gatherPhase(ranks, g, null)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val remote = gathered.mapPartitionsWithIndex(
+        (p, it) => it.filter(_._1 != p), preservesPartitioning = false)
+      .partitionBy(idPart)
+    val next = remote.zipPartitions(gathered, g.meta, preservesPartitioning = true) {
+      (rIt, lIt, mIt) =>
+        val (vm, inIdx) = mIt.next()
+        val p = TaskContext.getPartitionId()
         val acc = new Array[Double](vm.nRecv)
-        while (pIt.hasNext) {
-          val (_, (q, vals)) = pIt.next()
+        @inline def fold(q: Int, vals: Array[Double]): Unit = {
           val idx = inIdx(q)
           var i = 0
           while (i < vals.length) { acc(idx(i)) += vals(i); i += 1 }
         }
+        lIt.foreach { case (tp, (q, vals)) => if (tp == p) fold(q, vals) }
+        rIt.foreach { case (_, (q, vals)) => fold(q, vals) }
         val nV = vm.ids.length
         val newPr = new Array[Double](nV)
         var i = 0
@@ -646,30 +767,37 @@ object GatherScatter {
         while (i < nV) { newPr(i) = 0.3; i += 1 } // in-degree-0: keep init
         Iterator.single(newPr)
     }
+    (next, gathered)
   }
 
-  /** One superstep: gather → all-to-all → dense apply. Returns the new rank
-    * vectors and (when `tol` >= 0) counts vertices that moved more than tol.
-    * `hotPr` is the per-superstep hub mirror (null on hubless graphs, never
-    * dereferenced then); the caller owns it and unpersists it after the
-    * superstep materializes. */
+  /** One superstep: gather → split exchange → dense apply. Returns the new
+    * rank vectors, the gathered handle (caller unpersists after the superstep
+    * materializes) and (when `tol` >= 0) counts vertices that moved more than
+    * tol. `hotPr` is the per-superstep hub mirror (null on hubless graphs,
+    * never dereferenced then); the caller owns it too. */
   private def superstep(g: PrGraph, ranks: RDD[Array[Double]], alpha: Double,
                         tol: Double,
                         changedAcc: Option[org.apache.spark.util.LongAccumulator],
                         hotPr: Broadcast[Array[Double]])
-  : RDD[Array[Double]] = {
+  : (RDD[Array[Double]], RDD[_]) = {
     val idPart = new IdPartitioner(g.numPartitions)
-    val exchanged = gatherPhase(ranks, g, hotPr).partitionBy(idPart)
-    exchanged.zipPartitions(g.inIdx, g.verts, ranks, preservesPartitioning = true) {
-      (pIt, iIt, vIt, oIt) =>
-        val inIdx = iIt.next(); val vm = vIt.next(); val old = oIt.next()
+    val gathered = gatherPhase(ranks, g, hotPr)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val remote = gathered.mapPartitionsWithIndex(
+        (p, it) => it.filter(_._1 != p), preservesPartitioning = false)
+      .partitionBy(idPart)
+    val next = remote.zipPartitions(gathered, g.meta, ranks, preservesPartitioning = true) {
+      (rIt, lIt, mIt, oIt) =>
+        val (vm, inIdx) = mIt.next(); val old = oIt.next()
+        val p = TaskContext.getPartitionId()
         val acc = new Array[Double](vm.nRecv)
-        while (pIt.hasNext) {
-          val (_, (q, vals)) = pIt.next()
+        @inline def fold(q: Int, vals: Array[Double]): Unit = {
           val idx = inIdx(q)
           var i = 0
           while (i < vals.length) { acc(idx(i)) += vals(i); i += 1 }
         }
+        lIt.foreach { case (tp, (q, vals)) => if (tp == p) fold(q, vals) }
+        rIt.foreach { case (_, (q, vals)) => fold(q, vals) }
         val nV = vm.ids.length
         val newPr = new Array[Double](nV)
         var changed = 0L
@@ -690,6 +818,7 @@ object GatherScatter {
         changedAcc.foreach(_.add(changed))
         Iterator.single(newPr)
     }
+    (next, gathered)
   }
 
   private def materialize(g: PrGraph, ranks: RDD[Array[Double]]): RDD[RankBlock] = {
@@ -707,29 +836,41 @@ object GatherScatter {
    * apply-on-receive per `GraphMatRuntime.h:195-225`).
    */
   def pageRank(g: PrGraph, alpha: Double, iterations: Int,
-               checkpointEvery: Int = 25): RDD[RankBlock] = {
+               checkpointEvery: Int = 4): RDD[RankBlock] = {
     if (g.hotIds.isEmpty) {
-      // hub-less graph: chain all supersteps LAZILY and materialize once —
-      // one pipelined job instead of 2 jobs per superstep (valid because the
-      // lazy superstep consumes its input exactly once; see superstepLazy).
-      // Materialize every `checkpointEvery` steps to bound shuffle lineage.
+      // hub-less graph: chain all supersteps LAZILY — one pipelined job per
+      // `checkpointEvery`-superstep segment instead of 2 jobs per superstep
+      // (valid because the lazy superstep consumes its input exactly once;
+      // see superstepLazy). A segment barrier is a BARE count(): completed
+      // shuffle-map stages are skipped by later jobs (shuffle-file reuse),
+      // so the barrier serializes nothing — its only job is to bound how
+      // many per-superstep gathered blocks are live at once. All but the
+      // NEWEST gathered block can then be freed: superstep k+1's stage may
+      // re-run apply_k (a narrow pass over shuffle_k's files + gathered_k),
+      // but gathered_{<k}'s consumers are behind existing shuffle files and
+      // never re-read. An executor loss degrades to lineage recompute —
+      // unpersist does not truncate lineage.
       var ranks = initRanks(g)
       var it = 0
-      var persisted: Option[RDD[Array[Double]]] = None
+      var pending = List.empty[RDD[_]]
+      val segment = math.max(1, checkpointEvery)
       while (it < iterations) {
-        ranks = superstepLazy(g, ranks, alpha)
+        val (nr, gth) = superstepLazy(g, ranks, alpha)
+        ranks = nr
+        pending ::= gth
         it += 1
-        if (it % checkpointEvery == 0 && it < iterations) {
-          val p = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-          p.localCheckpoint()
-          p.count()
-          persisted.foreach(_.unpersist(blocking = false))
-          persisted = Some(p)
-          ranks = p
+        if (it % segment == 0 && it < iterations) {
+          ranks.count()
+          pending match {
+            case keep :: olds =>
+              olds.foreach(_.unpersist(blocking = false))
+              pending = List(keep)
+            case Nil =>
+          }
         }
       }
       val out = materialize(g, ranks)
-      persisted.foreach(_.unpersist(blocking = false))
+      pending.foreach(_.unpersist(blocking = false))
       out
     } else {
       // hub graphs need the per-superstep mirror broadcast (a driver action),
@@ -743,14 +884,16 @@ object GatherScatter {
       while (it < iterations) {
         val t0 = if (iterLog) System.nanoTime() else 0L
         val hotPr = sc.broadcast(hotMirror(g, ranks))
-        val newRanks = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None,
+        val (nr, gth) = superstep(g, ranks, alpha, tol = -1.0, changedAcc = None,
             hotPr)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newRanks = nr.persist(StorageLevel.MEMORY_AND_DISK)
         if ((it + 1) % checkpointEvery == 0) newRanks.localCheckpoint()
         newRanks.count()
-        // free the mirror's executor copies now that the superstep is
-        // materialized (unpersist, not destroy — see build()); without this a
-        // long run accumulates one broadcast per superstep until GC
+        // free the mirror's executor copies and the superstep's gathered
+        // blocks now that the superstep is materialized (unpersist, not
+        // destroy — see build()); without this a long run accumulates one
+        // broadcast + one gather snapshot per superstep until GC
+        gth.unpersist(blocking = false)
         hotPr.unpersist(blocking = false)
         if (iterLog) println(f"[iter] superstep $it: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         prev.unpersist(blocking = false)
@@ -782,9 +925,10 @@ object GatherScatter {
       val changedAcc = sc.longAccumulator(s"changed-$it")
       val hotPr = if (g.hotIds.isEmpty) null
                   else sc.broadcast(hotMirror(g, ranks))
-      val newRanks = superstep(g, ranks, alpha, tol, Some(changedAcc), hotPr)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nr, gth) = superstep(g, ranks, alpha, tol, Some(changedAcc), hotPr)
+      val newRanks = nr.persist(StorageLevel.MEMORY_AND_DISK)
       newRanks.count()
+      gth.unpersist(blocking = false)
       if (hotPr != null) hotPr.unpersist(blocking = false)
       prev.unpersist(blocking = false)
       prev = newRanks

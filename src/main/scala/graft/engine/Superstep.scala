@@ -71,7 +71,20 @@ final case class VertexProgramSpec(
     maxIterations: Int = -1, // -1 = UNTIL_CONVERGENCE (`GraphMatRuntime.h:51`)
     /** false = fixed-iteration run: skip the per-superstep changed-count job
       * (one action instead of two); convergence is then budget-only. */
-    trackChanges: Boolean = true)
+    trackChanges: Boolean = true,
+    /** Fixed-iteration runs only (`trackChanges=false`, no checkpointing):
+      * number of supersteps to CHAIN lazily before materializing, executing a
+      * segment as ONE pipelined Spark job. MEASURED on the 7.8M-edge bench
+      * graph (SqlProbe): k=1 6.18s, k=2 6.15s, k=4 11.6s for 5 supersteps —
+      * ReuseExchange does dedup each intermediate state's ⊕ exchange, but
+      * everything ABOVE the exchange (sort-merge of the apply join, the apply
+      * projection) re-executes once per consuming branch and the branch count
+      * doubles per chained superstep, so chaining k>2 LOSES. Default 1; the
+      * knob stays for narrow-state programs where the recompute is cheaper
+      * than the job-launch + checkpoint serialization it saves.
+      * Tracked/checkpointed runs pin this to 1 (the changed count is an
+      * action per superstep by definition). */
+    chainDepth: Int = 1)
 
 object Reduce {
   /** Standard ⊕ as aggregate expressions over the gathered frame, grouped by receiver. */
@@ -177,6 +190,15 @@ object Superstep {
     var iter = startIteration
     var converged = false
 
+    // Effective chain length: only fixed-iteration, non-checkpointed runs can
+    // defer materialization; 3-op programs put state in the plan 3x per
+    // superstep (frontier + recv-state + apply join), so cap their growth.
+    val chain =
+      if (spec.trackChanges || cp.isDefined) 1
+      else if (spec.needsRecvState) math.min(spec.chainDepth, 2)
+      else math.max(1, spec.chainDepth)
+    var sinceMat = 0
+
     while (!converged && (spec.maxIterations < 0 || iter - startIteration < spec.maxIterations)) {
       val t0 = System.nanoTime()
 
@@ -204,30 +226,45 @@ object Superstep {
       val applied = spec.apply(joined, iter)
       require(applied.columns.contains("_changed"), "apply must emit _changed")
 
-      // Eager localCheckpoint EVERY superstep: `apply` joins the state with
-      // an aggregate derived from the same state, so without truncation the
-      // logical plan doubles per iteration (exponential analysis time). This
-      // is the reference's scratch-vector reuse analog (SURVEY.md §4) — one
-      // materialized, lineage-free state per superstep.
-      // SERIALIZED storage is load-bearing: deserialized checkpoints keep
-      // ~|V| live row objects resident per superstep and G1 old-gen collection
-      // dominates task time (measured 70-90% GC); serialized = one byte
-      // buffer per partition block.
-      val rddsBefore = sc.getPersistentRDDs.keySet
-      val persisted = applied.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      val changed =
-        if (spec.trackChanges) persisted.filter(col("_changed")).count()
-        else -1L
-
-      cached.unpersist()
-      cachedRdds.foreach(_.unpersist(blocking = false))
-      cachedRdds = sc.getPersistentRDDs.collect {
-        case (id, r) if !rddsBefore.contains(id) => r
-      }
-      cached = persisted
-      state = persisted.drop("_changed")
-
       iter += 1
+      val isLast = spec.maxIterations >= 0 && iter - startIteration >= spec.maxIterations
+      var changed = -1L
+      if (sinceMat + 1 >= chain || isLast || spec.trackChanges) {
+        // Materialize: localCheckpoint truncates the lineage — `apply` joins
+        // the state with an aggregate derived from the same state, so without
+        // truncation the logical plan doubles per iteration (exponential
+        // analysis time past the chain window). This is the reference's
+        // scratch-vector reuse analog (SURVEY.md §4).
+        // LAZY checkpoint + one explicit action = ONE job that computes every
+        // superstep since the last materialization AND (tracked mode) the
+        // changed count — the count reads the freshly persisted blocks in the
+        // same job, not a second pass over the superstep's shuffles.
+        // SERIALIZED storage is load-bearing: deserialized checkpoints keep
+        // ~|V| live row objects resident per superstep and G1 old-gen
+        // collection dominates task time (measured 70-90% GC); serialized =
+        // one byte buffer per partition block.
+        val rddsBefore = sc.getPersistentRDDs.keySet
+        val persisted = applied.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+        changed =
+          if (spec.trackChanges) persisted.filter(col("_changed")).count()
+          else { persisted.count(); -1L }
+
+        cached.unpersist()
+        cachedRdds.foreach(_.unpersist(blocking = false))
+        cachedRdds = sc.getPersistentRDDs.collect {
+          case (id, r) if !rddsBefore.contains(id) => r
+        }
+        cached = persisted
+        state = persisted.drop("_changed")
+        sinceMat = 0
+      } else {
+        // Chained superstep: stays lazy; the previous materialized state
+        // (`cached`) must remain persisted — every lazy superstep in the
+        // segment reads it — so no unpersist until the next materialization.
+        state = applied.drop("_changed")
+        sinceMat += 1
+      }
+
       converged = changed == 0
       metrics += IterationMetrics(iter, changed, (System.nanoTime() - t0) / 1000000)
 

@@ -151,6 +151,69 @@ object Similarity {
     scored.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
   }
 
+  // ---------------- IVF (inverted-file) ANN ----------------
+  //
+  // The other classic ANN scale path next to LSH banding: partition the
+  // corpus into C centroid lists, search only the nProbe nearest lists per
+  // query. Centroid SELECTION here is a deterministic md5-ordered sample (at
+  // 100 TB you'd k-means|| these; selection is orthogonal to the index/search
+  // plumbing, which is what this implements — swap `ivfCentroids` for a
+  // trained set and nothing else changes). Assignment and probing rank by
+  // EXACT integer-quantized dot products (1e-3 quantization, the same trick
+  // as the banded LSH above), so list membership is order-independent and
+  // bit-identical in any engine; only the final re-rank uses true cosine.
+  // Scale shape: centroids broadcast (C ≪ |corpus|), assignment is one
+  // narrow pass, and each query touches nProbe/C of the corpus.
+
+  /** Σ round(a_i·1000)·round(b_i·1000) — exact integer dot (order-free,
+    * engine-reproducible; values bounded by 64·(10³·|x|ₘₐₓ)² ≪ 2⁶³). */
+  def quantDot(a: Column, b: Column): Column = {
+    def q(v: Column) = transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    aggregate(zip_with(q(a), q(b), _ * _), lit(0L), _ + _)
+  }
+
+  /** The C corpus rows with the smallest md5(id) — a deterministic,
+    * engine-replayable "random" centroid sample. */
+  def ivfCentroids(corpus: DataFrame, c: Int): DataFrame =
+    corpus.orderBy(md5(col("id").cast("string")), col("id")).limit(c)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  /** (id, vec, cid): each corpus vector assigned to its argmax-quantized-dot
+    * centroid (ties → lowest cid). One broadcast pass; no shuffle of the
+    * corpus beyond the per-id window partials. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        quantDot(col("vec"), col("cvec")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("s").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("id", "vec", "cid")
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` best centroid lists per query (same
+    * integer-dot ranking as assignment), exact cosine re-rank within the
+    * probed lists only — never the whole corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              c: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = ivfCentroids(corpus, c)
+    val assigned = ivfAssign(corpus, cent)
+    val probes = queries.crossJoin(broadcast(cent))
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("cid"),
+        quantDot(col("vec"), col("cvec")).as("s"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("cid"))
+    val probed = probes.withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nProbe).select("query_id", "qv", "cid")
+    val cand = probed.join(assigned, "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("vec")) + 1e-9, 6).as("cos"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold on the
     * rounded value). Brute-force over a sampled/bucketed pair set. */
   def cosineNearDup(vecs: DataFrame, threshold: Double): DataFrame = {

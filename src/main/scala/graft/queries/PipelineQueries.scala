@@ -78,6 +78,15 @@ object PipelineQueries {
       Similarity.bruteTopK(q, c, 5)
     }),
 
+    // IVF ANN: same query set as s_ann_topk but through the inverted-file
+    // index (deterministic centroid sample, integer-dot assignment/probing,
+    // cosine re-rank inside the probed lists only)
+    "s_ivf_topk" -> ((s, dir) => {
+      val all = vecs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = all.filter(col("id") % 100 === 0)
+      Similarity.ivfTopK(q, all, 5, c = 8, nProbe = 2)
+    }),
+
     "t_lang" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -235,6 +244,34 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "s_ivf_topk" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT id AS cid, e AS ce FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+        |qd AS (
+        |  SELECT v.id, c.cid,
+        |    CAST(list_dot_product(list_transform(v.e, x -> round(x * 1000)),
+        |                          list_transform(c.ce, x -> round(x * 1000))) AS BIGINT) AS s
+        |  FROM v CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT id, cid FROM (
+        |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk FROM qd)
+        |  WHERE rk = 1),
+        |probe AS (
+        |  SELECT id AS query_id, cid FROM (
+        |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk
+        |    FROM qd WHERE id % 100 = 0)
+        |  WHERE rk <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.id AS neighbor_id
+        |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         round(list_cosine_similarity(q.e, n.e) + 1e-9, 6) AS cos
+        |  FROM cand c JOIN v q ON q.id = c.query_id JOIN v n ON n.id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
 
     "t_lang" -> {
       val occ = (m: String) =>

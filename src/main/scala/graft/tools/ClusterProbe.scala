@@ -28,6 +28,12 @@ object ClusterProbe {
       .master(s"local-cluster[$execs,$cores,$memMb]")
       .appName(s"graft-cluster-$execs-$cores")
       .config("spark.executor.memory", s"${memMb}m")
+      // executors must pre-commit their heap like the driver does
+      // (build.sbt): an executor that grows its heap from the default -Xms
+      // page-faults through the first minutes of superstep work — measured
+      // as reps improving monotonically 39s -> 16s on the 4x1 scaling leg
+      .config("spark.executor.extraJavaOptions",
+        s"-Xms${memMb}m -XX:+AlwaysPreTouch")
       .config("spark.executor.extraClassPath", graftClasspath)
       .config("spark.sql.shuffle.partitions", execs * cores)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -35,6 +41,7 @@ object ClusterProbe {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.ui.enabled", "false")
+    GatherScatter.engineConfs.foreach { case (k, v) => b.config(k, v) }
     // ad-hoc experiment knobs: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2); b.config(k, v)
@@ -79,12 +86,16 @@ object ClusterProbe {
       })
     }
 
-    val edges =
-      if (input.forall(_.isDigit))
-        Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(spark, input.toInt)))
-      else spark.read.parquet(input)
-    val g = GatherScatter.build(LinkGraph(edges), numPartitions = nParts,
-      keyShift = keyShift)
+    val g =
+      if (input.startsWith("snap:")) GatherScatter.load(spark, input.stripPrefix("snap:"))
+      else {
+        val edges =
+          if (input.forall(_.isDigit))
+            Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(spark, input.toInt)))
+          else spark.read.parquet(input)
+        GatherScatter.build(LinkGraph(edges), numPartitions = nParts,
+          keyShift = keyShift)
+      }
     GatherScatter.pageRank(g, 0.3, 2).unpersist(false) // JIT warm
     var best = Double.MaxValue
     var sum = 0.0; var nv = 0L

@@ -20,6 +20,17 @@ object GenEdges {
     Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(spark, convs)))
       .write.mode("overwrite").parquet(out)
     println(f"[gen] $convs convs -> $out in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    // optional: prebuild + save the CSR snapshot (args: snapOut nParts keyShift)
+    args.lift(2).foreach { snapOut =>
+      val nParts = args.lift(3).map(_.toInt).getOrElse(16)
+      val shift = args.lift(4).map(_.toInt).getOrElse(0)
+      val t1 = System.nanoTime()
+      val g = graft.engine.GatherScatter.build(
+        graft.core.LinkGraph(spark.read.parquet(out)), nParts, keyShift = shift)
+      graft.engine.GatherScatter.save(g, snapOut)
+      g.unpersist()
+      println(f"[gen] snapshot $snapOut (parts=$nParts shift=$shift) in ${(System.nanoTime()-t1)/1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -117,4 +117,22 @@ class GatherScatterSpec extends AnyFunSuite {
     assert(crossTargets === 0.0, "conversation partitioning must leave no cross-partition targets")
     hashed.unpersist(); coloc.unpersist()
   }
+
+  test("CSR snapshot save/load round-trip: loaded graph computes identical ranks") {
+    val graph = Transcripts.toGraph(Transcripts.synthesize(s, 200))
+    val built = GatherScatter.build(graph, 4, keyShift = 20)
+    val want = GatherScatter.toDF(s, GatherScatter.pageRank(built, 0.3, 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    GatherScatter.save(built, s"$dir/g")
+    built.unpersist()
+    val loaded = GatherScatter.load(s, s"$dir/g")
+    assert(loaded.numPartitions === 4)
+    assert(loaded.numEdges === graph.numEdges)
+    val got = GatherScatter.toDF(s, GatherScatter.pageRank(loaded, 0.3, 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(got(k) === v, s"bit-for-bit parity, vertex $k")
+    loaded.unpersist()
+  }
 }
