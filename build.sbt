@@ -27,11 +27,23 @@ val jdk17AddOpens = Seq(
 // incremental heap growth page-faults every fresh region under this engine's
 // allocation pattern — measured 5-10x wall-clock on the superstep kernel at
 // -Xmx89g. Committing (and touching) the whole heap up front removes it.
+// The heap is CAPPED at 48g regardless of SPARK_DRIVER_MEM: a pre-touched
+// 89g driver is ~99g RSS, and Bench's local-cluster legs spawn pre-touched
+// executor JVMs next to it — on this 125g machine the kernel OOM-kills the
+// driver (exit 137). 48g + the largest executor constellation stays under
+// budget, and every measured working set fits in far less.
+def capHeap(v: String): String = {
+  val m = "([0-9]+)([gG])".r
+  v match {
+    case m(n, _) if n.toInt > 48 => "48g"
+    case _ => v
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${capHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
+  s"-Xms${capHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
   "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
 // local-cluster[n,c,m] legs (Bench scaling proof) spawn standalone Workers

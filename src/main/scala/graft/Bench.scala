@@ -20,25 +20,36 @@ import graft.tools.ClusterProbe
  *
  * Scaling evidence (north rule: ">=0.8 efficiency from N to 4N executors"):
  * measured under `local-cluster[n,cores,mem]` — REAL separate executor JVMs
- * (own heaps, real Netty shuffle/broadcast), the closest in-sandbox analog of
- * a multi-executor standalone cluster:
- *  - "scaling": 1 executor x 4 cores vs 4 executors x 4 cores, same
- *    32.5M-edge graph, same 16 partitions.
- *  - "scaling_8_32": 2x4 vs 8x4 executors (8 vs 32 cores) on the headline
- *    graph — the round-2 thread-mode diagnostic re-measured under executor
- *    isolation.
- *  - "isolation_tax": 1x8 vs 4x2 — SAME total cores, same input, same
- *    partitions; only the number of JVM boundaries the per-superstep
- *    exchange crosses differs. On one physical machine every extra executor
- *    adds remote-shuffle CPU without adding DRAM bandwidth or a NIC, so this
- *    pair isolates the per-boundary cost that a real multi-NODE cluster
- *    amortizes with added hardware. Full analysis in BASELINE.md "Scaling".
+ * (own pre-touched heaps, real Netty shuffle/broadcast), the closest
+ * in-sandbox analog of a multi-executor standalone cluster. All cluster legs
+ * LOAD prebuilt CSR snapshots (GatherScatter.save/load), so they time
+ * supersteps, never ingest:
+ *  - "scaling": 1 vs 4 SINGLE-core executors on the scale graph, 64
+ *    cache-blocked partitions, rounds interleaved small/large so one of this
+ *    host's multi-minute noise windows cannot poison a single leg.
+ *  - "scaling_threads": local[1] vs local[4] on the same snapshot — the
+ *    task-blessed two-parallelism-level evidence, one pre-touched JVM.
+ *  - "scaling_hash": the same executor pair under pure vertex-hash
+ *    partitioning (worst-case cut — prices the exchange itself).
+ *  - "scaling_8_32": 2x4 vs 8x4 executors on the headline graph — the
+ *    DRAM-bandwidth-knee diagnostic under executor isolation.
+ *  - "cluster_throughput": 4x4 co-located — peak multi-executor rate.
+ *  - "isolation_tax": 1x8 vs 4x2 — SAME total cores; only the number of JVM
+ *    boundaries the exchange crosses differs. On one physical machine every
+ *    extra executor adds remote-shuffle CPU without adding DRAM or a NIC, so
+ *    this prices the per-boundary cost a real multi-NODE cluster amortizes
+ *    with added hardware. Full analysis in BASELINE.md "Scaling".
  *
- * Every leg builds fresh, measures best-of-k back-to-back repetitions (this
- * sandbox VM shows multi-x wall-clock noise; the minimum is the least-
- * contended estimate), and unpersists everything before returning. Shuffle
- * compression is off: the exchange ships packed high-entropy Array[Double],
- * where lz4 costs CPU for no size win (measured ~2x shuffle-write time).
+ * Executor-memory sizing is a hard budget: the driver JVM runs pre-touched
+ * (-Xms=-Xmx, SPARK_DRIVER_MEM up to 89g) and executors pre-touch too, so
+ * driver + SUM(executor heaps) + ~1g/JVM overhead must stay under the
+ * machine's 128g or the OS OOM-kills a leg (exit 137).
+ *
+ * Every leg measures best-of-k back-to-back repetitions (this sandbox VM
+ * shows multi-x wall-clock noise; the minimum is the least-contended
+ * estimate), and unpersists everything before returning. Shuffle compression
+ * is off: the exchange ships packed high-entropy Array[Double], where lz4
+ * costs CPU for no size win (measured ~2x shuffle-write time).
  */
 object Bench {
 
@@ -192,7 +203,7 @@ object Bench {
     var eC = 0L; var itC = 10
     for (_ <- 1 to 2) {
       val (e1, it1x, s1, _) = clusterLeg(1, 1, 10240, snapPair, iters = 10, reps = 2)
-      val (_, _, s4, _) = clusterLeg(4, 1, 10240, snapPair, iters = 10, reps = 3)
+      val (_, _, s4, _) = clusterLeg(4, 1, 6144, snapPair, iters = 10, reps = 3)
       eC = e1; itC = it1x
       secC1 = math.min(secC1, s1); secC4 = math.min(secC4, s4)
     }
@@ -228,14 +239,14 @@ object Bench {
     // adversarial partitioning: pure vertex hash — every edge's gather
     // target is a uniformly random partition (worst-case cut); cross-JVM
     // bytes here are the full exchange, so this pair prices the cut itself
-    val (eS, itS, sec1, eps1) = clusterLeg(1, 4, 8192, snapHash, iters = 5, reps = 2)
-    val (_, _, sec4, eps4) = clusterLeg(4, 4, 8192, snapHash, iters = 5, reps = 2)
+    val (eS, itS, sec1, eps1) = clusterLeg(1, 4, 10240, snapHash, iters = 5, reps = 2)
+    val (_, _, sec4, eps4) = clusterLeg(4, 4, 6144, snapHash, iters = 5, reps = 2)
     val eff14 = (sec1 / sec4) / 4.0
     // ---- peak multi-executor throughput: 4x4 co-located ----
-    val (eT, itT, secT, epsT) = clusterLeg(4, 4, 8192, snapColo, iters = 10, reps = 3)
+    val (eT, itT, secT, epsT) = clusterLeg(4, 4, 6144, snapColo, iters = 10, reps = 3)
     // ---- isolation tax: same 8 cores, 1 JVM vs 4 JVMs ----
     val (_, _, secJvm1, epsJvm1) = clusterLeg(1, 8, 10240, snapHash, iters = 5, reps = 2)
-    val (_, _, secJvm4, epsJvm4) = clusterLeg(4, 2, 8192, snapHash, iters = 5, reps = 2)
+    val (_, _, secJvm4, epsJvm4) = clusterLeg(4, 2, 6144, snapHash, iters = 5, reps = 2)
     // ---- 8 -> 32 cores as executors (round-2 diagnostic, isolated) ----
     val (e8, it8, sec8, eps8) = clusterLeg(2, 4, 3072, snapHead, iters = 10, reps = 2)
     val (e32c, _, sec32c, eps32c) = clusterLeg(8, 4, 3072, snapHead, iters = 10, reps = 2)
