@@ -35,7 +35,9 @@ val jdk17AddOpens = Seq(
 def capHeap(v: String): String = {
   val m = "([0-9]+)([gG])".r
   v match {
-    case m(n, _) if n.toInt > 48 => "48g"
+    case m(n, _) if n.toInt > 48 =>
+      println(s"[build.sbt] SPARK_DRIVER_MEM=$v capped to 48g (pre-touched driver + executor JVMs must fit the 125g host)")
+      "48g"
     case _ => v
   }
 }

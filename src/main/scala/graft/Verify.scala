@@ -21,7 +21,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries must not pollute each other (same sweep Bench does):
+      // e.g. the LDA queries cache their doc-term edge table for the run
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    val leaked = spark.sparkContext.getPersistentRDDs.size
+    assert(leaked == 0, s"[verify] $leaked persistent RDDs leaked after sweep")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -126,4 +126,78 @@ object Lda {
     }
     state.select("id", "type", "n")
   }
+
+  /**
+   * `LDALLProgram` (`/root/reference/src/LDA.cpp:196-250`, run by the LDA
+   * main at `:334-341`): per-token log-likelihood. Along each STORED edge
+   * doc→word (the program runs OUT_EDGES), the receiver w scores its tokens:
+   *   phi_wk   = (w.N[k] + η−1) / (N_k[k] + V(η−1))      (smoothed topic-word;
+   *              N_k = Σ over 'w' vertices of N, the post-run global vector)
+   *   theta_kj = (doc.N[k] + η−1) / Σ_k (doc.N[k] + η−1) (doc-topic mix; the
+   *              reference uses η here too, NOT α — mirrored faithfully)
+   *   token_loglik(w) += count · ln(Σ_k phi_wk · theta_kj)
+   * The reference then folds Σ_v token_loglik with applyReduceAllVertices
+   * (`:336-341`) — here `logLikelihood`.
+   */
+  def tokenLogLik(graph: LinkGraph, state: DataFrame, eta: Double = 5.0,
+                  vocabSize: Long = -1L): DataFrame = {
+    val v = if (vocabSize > 0) vocabSize
+            else state.filter(col("type") === "w").count()
+    val gN = globalN(state)
+    val nkS = array(gN.map(x => lit(x + v * (eta - 1.0))): _*)
+    val d = state.select(col("id").as("src"), col("n").as("dn"))
+    val w = state.select(col("id").as("dst"), col("n").as("wn"))
+    val thetaRaw = transform(col("dn"), x => x + (eta - 1.0))
+    val thetaSum = aggregate(thetaRaw, lit(0.0), _ + _)
+    val phi = zip_with(col("wn"), nkS, (x, g) => (x + (eta - 1.0)) / g)
+    val dot = aggregate(zip_with(phi, thetaRaw, _ * _), lit(0.0), _ + _) / thetaSum
+    graph.edges.join(d, "src").join(w, "dst")
+      .withColumn("c", col("weight") * log(dot))
+      .groupBy(col("dst").as("id")).agg(sum("c").as("token_loglik"))
+  }
+
+  /** Total corpus log-likelihood — the reference's `Total Loglikelihood`
+    * print (`LDA.cpp:336-341`). */
+  def logLikelihood(graph: LinkGraph, state: DataFrame, eta: Double = 5.0,
+                    vocabSize: Long = -1L): Double =
+    tokenLogLik(graph, state, eta, vocabSize)
+      .agg(sum("token_loglik")).head().getDouble(0)
+
+  /**
+   * Oracle-replayable total log-likelihood: the same program evaluated over
+   * the state QUANTIZED to the gate's 4-decimal precision (1e-4 integer
+   * units), so every cross-engine aggregate — the global topic vector, each
+   * doc's theta denominator, the final total — is exact integer arithmetic
+   * with no float-summation-order dependence, and the only float ops are
+   * IEEE-deterministic divisions of small integers plus a 20-term dot folded
+   * in one fixed left-to-right order (Spark `aggregate` ≡ SQL's left-assoc
+   * `t0+t1+…`). η is fixed at 5.0 (offset η−1 = 40000 quantized units).
+   * Returns one row (ll, n_edges).
+   */
+  def logLikelihoodGated(graph: LinkGraph, state: DataFrame): DataFrame = {
+    val q = state.select(col("id"), col("type"),
+        transform(col("n"), x => round((x + lit(1e-9)) * 10000).cast("long")).as("nq"))
+      .cache()
+    val v = q.filter(col("type") === "w").count()
+    val gRows = q.filter(col("type") === "w")
+      .select(posexplode(col("nq")).as(Seq("k", "x")))
+      .groupBy("k").agg(sum("x").as("g")).collect()
+    val nkS = new Array[Long](K)
+    gRows.foreach(r => nkS(r.getInt(0)) = r.getLong(1))
+    val nkSLit = array(nkS.map(g => lit((g + v * 40000L).toDouble)): _*)
+    val d = q.select(col("id").as("src"), col("nq").as("dn"))
+    val w = q.select(col("id").as("dst"), col("nq").as("wn"))
+    val sd = (aggregate(col("dn"), lit(0L), _ + _) + lit(800000L)).cast("double")
+    val phi = zip_with(col("wn"), nkSLit, (x, g) => (x + lit(40000L)).cast("double") / g)
+    val theta = transform(col("dn"), x => (x + lit(40000L)).cast("double") / sd)
+    val dot = aggregate(zip_with(phi, theta, _ * _), lit(0.0), _ + _)
+    val out = graph.edges.join(d, "src").join(w, "dst")
+      .select(round(col("weight") * log(dot) * 10000).cast("long").as("cq"))
+      .agg((sum("cq").cast("double") / 10000.0).as("ll"),
+           count(lit(1)).as("n_edges"))
+    val r = out.collect() // materialize before dropping the quantized cache
+    q.unpersist()
+    state.sparkSession.createDataFrame(
+      java.util.Arrays.asList(r: _*), out.schema)
+  }
 }

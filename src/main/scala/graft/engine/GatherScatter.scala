@@ -298,13 +298,21 @@ object GatherScatter {
       if (hotDegree > 0) hotDegree
       else math.max(4096L, numEdges / n / 4)
 
+    // The edge table is read TWICE below (hub aggregate, then routing).
+    // Persist the 2-column projection across the passes so (a) a
+    // non-deterministic or mutating upstream cannot make the hub set of pass
+    // 1 disagree with the edges routed in pass 2, and (b) an expensive
+    // upstream pipeline is paid once, not twice.
+    import org.apache.spark.sql.functions.{col => c9, count => cnt}
+    val edgePairs = graph.edges.select(c9("src"), c9("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     // degree-aware split: find srcs whose out-degree exceeds the threshold.
     // ONE Tungsten aggregate over the edge table (codegen'd partial+final
     // count — no RDD tuple boxing), tiny result: ids AND global degrees of
     // the hubs in a single pass (hub count is small by definition — if it
     // weren't, the threshold would be wrong, so cap it).
-    import org.apache.spark.sql.functions.{col => c9, count => cnt}
-    val hotRows = graph.edges.groupBy(c9("src")).agg(cnt("*").as("d"))
+    val hotRows = edgePairs.groupBy(c9("src")).agg(cnt("*").as("d"))
       .filter(c9("d") > hotThreshold).collect()
     val hotIds: Array[Long] = hotRows.map(_.getLong(0)).sorted
     require(hotIds.length <= (1 << 20), s"hot-vertex list too large (${hotIds.length}); raise hotDegree")
@@ -326,7 +334,7 @@ object GatherScatter {
     // packed form and dominated by tuple allocation + GC.
     val nLoc = n // plain local so closures don't capture the outer object
     val shiftLoc = keyShift
-    val routed: RDD[(Int, Array[Long])] = graph.edges.select("src", "dst").rdd
+    val routed: RDD[(Int, Array[Long])] = edgePairs.rdd
       .mapPartitions { it =>
         val hot = hotBc.value
         val bufs = new Array[Array[Long]](nLoc)
@@ -496,6 +504,7 @@ object GatherScatter {
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     csr.count()
+    edgePairs.unpersist(blocking = false) // both passes are materialized
 
     // hot srcs are vertices of their HOME partition even when their edges
     // were scattered elsewhere
@@ -618,8 +627,13 @@ object GatherScatter {
       .saveAsObjectFile(s"$path/csr")
     g.meta.mapPartitionsWithIndex((p, it) => it.map(m => (p, m)))
       .saveAsObjectFile(s"$path/meta")
-    val oos = new java.io.ObjectOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$path/manifest.bin")))
+    // manifest through the SAME FileSystem the blocks used: a java.nio local
+    // write under an hdfs:// or s3a:// path would leave a half-written
+    // snapshot (blocks remote, manifest missing)
+    val hp = new org.apache.hadoop.fs.Path(s"$path/manifest.bin")
+    val fs = hp.getFileSystem(
+      g.csr.sparkContext.hadoopConfiguration)
+    val oos = new java.io.ObjectOutputStream(fs.create(hp, true))
     try {
       oos.writeInt(g.numPartitions); oos.writeLong(g.numEdges)
       oos.writeLong(g.numVertices); oos.writeObject(g.hotIds)
@@ -628,8 +642,9 @@ object GatherScatter {
 
   def load(spark: SparkSession, path: String): PrGraph = {
     val sc = spark.sparkContext
+    val hp = new org.apache.hadoop.fs.Path(s"$path/manifest.bin")
     val ois = new java.io.ObjectInputStream(
-      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(s"$path/manifest.bin")))
+      hp.getFileSystem(sc.hadoopConfiguration).open(hp))
     val (n, nE, nV, hotIds) =
       try (ois.readInt(), ois.readLong(), ois.readLong(),
            ois.readObject().asInstanceOf[Array[Long]])
@@ -853,24 +868,43 @@ object GatherScatter {
       var ranks = initRanks(g)
       var it = 0
       var pending = List.empty[RDD[_]]
+      var lastCp: Option[RDD[Array[Double]]] = None
       val segment = math.max(1, checkpointEvery)
+      // the bare count() barrier does NOT truncate lineage; without a real
+      // checkpoint the DAG deepens linearly with `iterations` (segment jobs
+      // re-walk the whole chain, executor loss cascades recomputation toward
+      // iteration 0). Truncate every `lineageEvery` supersteps.
+      val lineageEvery = math.max(segment, 32 / segment * segment)
       while (it < iterations) {
         val (nr, gth) = superstepLazy(g, ranks, alpha)
         ranks = nr
         pending ::= gth
         it += 1
         if (it % segment == 0 && it < iterations) {
-          ranks.count()
-          pending match {
-            case keep :: olds =>
-              olds.foreach(_.unpersist(blocking = false))
-              pending = List(keep)
-            case Nil =>
+          if (it % lineageEvery == 0) {
+            ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            ranks.localCheckpoint()
+            ranks.count()
+            // lineage now starts at `ranks`: every older gathered block and
+            // the previous checkpoint are unreachable — free them all
+            pending.foreach(_.unpersist(blocking = false))
+            pending = Nil
+            lastCp.foreach(_.unpersist(blocking = false))
+            lastCp = Some(ranks)
+          } else {
+            ranks.count()
+            pending match {
+              case keep :: olds =>
+                olds.foreach(_.unpersist(blocking = false))
+                pending = List(keep)
+              case Nil =>
+            }
           }
         }
       }
       val out = materialize(g, ranks)
       pending.foreach(_.unpersist(blocking = false))
+      lastCp.foreach(_.unpersist(blocking = false))
       out
     } else {
       // hub graphs need the per-superstep mirror broadcast (a driver action),

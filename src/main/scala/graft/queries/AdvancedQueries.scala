@@ -102,6 +102,16 @@ object AdvancedQueries {
         .partitionBy("k").orderBy(col("v").desc, col("id"))
       words.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select("k", "rank", "id", "v")
+    }),
+
+    // LDA log-likelihood companion (`LDALLProgram`, run by the reference main
+    // after the topic iterations): total corpus loglik over the 2-iter md5
+    // state, evaluated at the gate's own 4-dp quantization so DuckDB replays
+    // it exactly (Lda.logLikelihoodGated).
+    "g_lda_loglik" -> ((s, dir) => {
+      val (g, types) = docTermGraph(s, dir)
+      val st = Lda.run(g, types, iterations = 2, gammaFn = Lda.gamma0Md5)
+      Lda.logLikelihoodGated(g, st)
     })
   )
 
@@ -150,6 +160,61 @@ object AdvancedQueries {
        |    SELECT *, sum(gamma) OVER (PARTITION BY r, m) AS gs FROM gm$n) t
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** The md5-replayable 2-iteration LDA pipeline through state `s2` — shared
+    * by the three LDA gates. */
+  private val ldaBase: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS d, w, CAST(count(*) AS DOUBLE) AS wt
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY 1, 2),
+       |words AS (
+       |  SELECT w, 1000000 + row_number() OVER (ORDER BY w) - 1 AS wid
+       |  FROM (SELECT DISTINCT w FROM toks) q),
+       |e AS (SELECT d AS src, wid AS dst, wt FROM toks JOIN words USING (w)),
+       |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
+       |vv AS (SELECT count(*) AS v FROM words),
+       |gam AS (
+       |  SELECT wt, k, ${hexU("md5(CAST(wt AS BIGINT) || ':' || k)")} AS g
+       |  FROM (SELECT DISTINCT wt FROM e) q CROSS JOIN ks),
+       |gamn AS (SELECT wt, k, g / sum(g) OVER (PARTITION BY wt) AS gn FROM gam),
+       |pairs0 AS (SELECT src AS id, wt FROM e UNION ALL SELECT dst, wt FROM e),
+       |s0 AS (
+       |  SELECT p.id, g.k, sum(g.gn * p.wt) AS n
+       |  FROM pairs0 p JOIN gamn g ON g.wt = p.wt GROUP BY 1, 2),
+       |pr AS (SELECT src AS r, dst AS m, wt FROM e UNION ALL SELECT dst, src, wt FROM e),
+       |${ldaIter(1)},
+       |${ldaIter(2)}""".stripMargin
+
+  /** DuckDB twin of `Lda.logLikelihoodGated`: state quantized to 1e-4 integer
+    * units (all sums exact), the 20-term dot unrolled left-associatively —
+    * the same fold order Spark's `aggregate` uses, so the doubles agree
+    * bit-for-bit before the final per-edge 4-dp quantization. */
+  private val ldaLoglikTail: String = {
+    val ks20 = 0 until 20
+    val pivots = ks20.map(i => s"sum(CASE WHEN k = $i THEN nq ELSE 0 END) AS n$i")
+      .mkString(",\n|           ")
+    val gsums = ks20.map(i => s"sum(n$i) AS g$i").mkString(", ")
+    val gsm = ks20.map(i => s"CAST(g$i + (SELECT v FROM vv) * 40000 AS DOUBLE) AS g$i")
+      .mkString(",\n|           ")
+    val sdSum = ks20.map(i => s"n$i").mkString(" + ")
+    val dotTerms = ks20.map(i =>
+      s"(CAST(w.n$i + 40000 AS DOUBLE) / g.g$i) * (CAST(d.n$i + 40000 AS DOUBLE) / d.sd)")
+      .mkString("\n|      + ")
+    s""",
+       |qst AS (SELECT id, k, CAST(round((n + 1e-9) * 10000) AS BIGINT) AS nq FROM s2),
+       |qp AS (SELECT id, $pivots FROM qst GROUP BY id),
+       |gq AS (SELECT $gsums FROM qp WHERE id >= 1000000),
+       |gs AS (SELECT $gsm FROM gq),
+       |dd AS (SELECT *, CAST($sdSum + 800000 AS DOUBLE) AS sd FROM qp),
+       |cqs AS (
+       |  SELECT CAST(round(e.wt * ln(
+       |        $dotTerms
+       |      ) * 10000) AS BIGINT) AS cq
+       |  FROM e JOIN dd d ON d.id = e.src JOIN qp w ON w.id = e.dst CROSS JOIN gs g)
+       |SELECT CAST(sum(cq) AS DOUBLE) / 10000.0 AS ll, count(*) AS n_edges FROM cqs""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "g_deltapr" -> (EventGraph.sqlBase +
       """, mrn AS (
@@ -188,58 +253,16 @@ object AdvancedQueries {
          |${sgdIter(2)}
          |SELECT id, k, round(v + 1e-9, 4) AS v FROM lv2""".stripMargin,
 
-    "g_lda" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS d, w, CAST(count(*) AS DOUBLE) AS wt
-         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |        FROM documents) t
-         |  WHERE length(w) > 0 GROUP BY 1, 2),
-         |words AS (
-         |  SELECT w, 1000000 + row_number() OVER (ORDER BY w) - 1 AS wid
-         |  FROM (SELECT DISTINCT w FROM toks) q),
-         |e AS (SELECT d AS src, wid AS dst, wt FROM toks JOIN words USING (w)),
-         |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
-         |vv AS (SELECT count(*) AS v FROM words),
-         |gam AS (
-         |  SELECT wt, k, ${hexU("md5(CAST(wt AS BIGINT) || ':' || k)")} AS g
-         |  FROM (SELECT DISTINCT wt FROM e) q CROSS JOIN ks),
-         |gamn AS (SELECT wt, k, g / sum(g) OVER (PARTITION BY wt) AS gn FROM gam),
-         |pairs0 AS (SELECT src AS id, wt FROM e UNION ALL SELECT dst, wt FROM e),
-         |s0 AS (
-         |  SELECT p.id, g.k, sum(g.gn * p.wt) AS n
-         |  FROM pairs0 p JOIN gamn g ON g.wt = p.wt GROUP BY 1, 2),
-         |pr AS (SELECT src AS r, dst AS m, wt FROM e UNION ALL SELECT dst, src, wt FROM e),
-         |${ldaIter(1)},
-         |${ldaIter(2)}
-         |SELECT id, k, round(n + 1e-9, 4) AS v FROM s2""".stripMargin,
+    "g_lda" -> (ldaBase + "\nSELECT id, k, round(n + 1e-9, 4) AS v FROM s2"),
 
-    "g_lda_topwords" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS d, w, CAST(count(*) AS DOUBLE) AS wt
-         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |        FROM documents) t
-         |  WHERE length(w) > 0 GROUP BY 1, 2),
-         |words AS (
-         |  SELECT w, 1000000 + row_number() OVER (ORDER BY w) - 1 AS wid
-         |  FROM (SELECT DISTINCT w FROM toks) q),
-         |e AS (SELECT d AS src, wid AS dst, wt FROM toks JOIN words USING (w)),
-         |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
-         |vv AS (SELECT count(*) AS v FROM words),
-         |gam AS (
-         |  SELECT wt, k, ${hexU("md5(CAST(wt AS BIGINT) || ':' || k)")} AS g
-         |  FROM (SELECT DISTINCT wt FROM e) q CROSS JOIN ks),
-         |gamn AS (SELECT wt, k, g / sum(g) OVER (PARTITION BY wt) AS gn FROM gam),
-         |pairs0 AS (SELECT src AS id, wt FROM e UNION ALL SELECT dst, wt FROM e),
-         |s0 AS (
-         |  SELECT p.id, g.k, sum(g.gn * p.wt) AS n
-         |  FROM pairs0 p JOIN gamn g ON g.wt = p.wt GROUP BY 1, 2),
-         |pr AS (SELECT src AS r, dst AS m, wt FROM e UNION ALL SELECT dst, src, wt FROM e),
-         |${ldaIter(1)},
-         |${ldaIter(2)}
-         |SELECT k, rank, id, v FROM (
-         |  SELECT k, id, round(n + 1e-9, 4) AS v,
-         |         row_number() OVER (PARTITION BY k ORDER BY round(n + 1e-9, 4) DESC, id) AS rank
-         |  FROM s2 WHERE id >= 1000000) t
-         |WHERE rank <= 5""".stripMargin
+    "g_lda_topwords" -> (ldaBase +
+      """
+        |SELECT k, rank, id, v FROM (
+        |  SELECT k, id, round(n + 1e-9, 4) AS v,
+        |         row_number() OVER (PARTITION BY k ORDER BY round(n + 1e-9, 4) DESC, id) AS rank
+        |  FROM s2 WHERE id >= 1000000) t
+        |WHERE rank <= 5""".stripMargin),
+
+    "g_lda_loglik" -> (ldaBase + ldaLoglikTail)
   )
 }

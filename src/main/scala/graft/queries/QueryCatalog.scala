@@ -89,6 +89,21 @@ object QueryCatalog {
     "e_rowblock" -> ((s, dir) =>
       EdgeOps.filterByRow(bucketEdges(events(s, dir)), 100L, 900L)
         .select(col("src"), col("dst"), round(col("weight") + 1e-9, 6).as("weight"))),
+    // the graph_converter CLI composition end-to-end (tools/GraphConverter
+    // .scala; reference src/graph_converter.cpp:161-222) with its
+    // deterministic flags, in the CLI's own order: shuffle → remove
+    // self-loops → bidirectional → upper-triangular → dedup → id permutation
+    // (md5 order, the cross-engine seed)
+    "e_converter" -> ((s, dir) => {
+      var e = richEdges(events(s, dir))
+      e = EdgeOps.shuffleBySrc(e, 8)
+      e = EdgeOps.removeSelfEdges(e)
+      e = EdgeOps.bidirectional(e)
+      e = EdgeOps.toDag(e)
+      e = EdgeOps.dedupEdges(e)
+      e = EdgeOps.permuteIdsBy(e, id => md5(id.cast("string")))
+      e.select(col("src"), col("dst"), round(col("weight") + 1e-9, 6).as("weight"))
+    }),
 
     // ---- graph algorithms over the events-derived link graph ----
     "g_degree" -> ((s, dir) =>
@@ -192,6 +207,16 @@ object QueryCatalog {
     "e_rowblock" -> (EventGraph.sqlBase +
       """SELECT src - 100 AS src, dst, round(weight + 1e-9, 6) AS weight
         |FROM bucket WHERE src >= 100 AND src < 900""".stripMargin),
+    // shuffle is row-order-only, bidirectional∘toDag = canonical distinct
+    // non-loop pairs (weight 1 everywhere in rich), then the md5-order
+    // permutation over the surviving vertex set
+    "e_converter" -> (EventGraph.sqlBase +
+      """, conv AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst
+        |           FROM rich WHERE src <> dst),
+        |cids AS (SELECT DISTINCT id FROM (SELECT src AS id FROM conv UNION ALL SELECT dst FROM conv)),
+        |cmap AS (SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS nid FROM cids)
+        |SELECT ms.nid AS src, md.nid AS dst, round(CAST(1.0 AS DOUBLE) + 1e-9, 6) AS weight
+        |FROM conv JOIN cmap ms ON ms.id = conv.src JOIN cmap md ON md.id = conv.dst""".stripMargin),
     "e_applyedges" -> (EventGraph.sqlBase +
       """, deg AS (SELECT src AS id, count(*) AS d FROM bucket GROUP BY 1)
         |SELECT b.src, b.dst,

@@ -92,6 +92,10 @@ object StreamIoQueries {
         .option("maxFilesPerTrigger", 2).parquet(tmp)
       val edges = TranscriptStream.edges(stream.as[TurnEvent]).toDF()
       val out = runToMemory(edges, "append")
+      // Scala UDF — the tree's ONE deliberate exemption from its no-UDF rule:
+      // vertexId is murmur3+splitmix over (conv_id, turn) with no builtin
+      // Column equivalent, and this mapping runs over the K-row RESULT of the
+      // streaming query (fixture-scale), never inside the hot path.
       val vid = udf((c: String, t: Int) => TranscriptStream.vertexId(c, t))
       val ids = turns.select(col("conv_id"), col("turn_idx"),
         vid(col("conv_id"), col("turn_idx")).as("vid"))

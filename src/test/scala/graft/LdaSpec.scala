@@ -56,4 +56,34 @@ class LdaSpec extends AnyFunSuite {
       assert(math.abs(got(v)._2(k) - n(v)(k)) < 1e-9, s"vertex $v dim $k")
     assert(got(1L)._1 === "d" && got(7L)._1 === "w")
   }
+
+  test("log-likelihood matches a sequential LDALLProgram fold on the final state") {
+    val eta = 5.0; val vocab = 3L
+    val st = Lda.run(g, types, iterations = 2, vocabSize = vocab)
+    val perWord = Lda.tokenLogLik(g, st, eta, vocab)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val total = Lda.logLikelihood(g, st, eta, vocab)
+
+    // sequential oracle: LDALLProgram semantics (`src/LDA.cpp:196-250`) —
+    // along each stored doc→word edge, phi from the receiver (word) against
+    // the smoothed post-run global vector, theta from the sender (doc,
+    // η-offset as the reference), token contribution = count·ln(Σ phi·theta)
+    val K = Lda.K
+    val n = st.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    val gN = new Array[Double](K)
+    for ((v, arr) <- n; if v >= 5L; k <- 0 until K) gN(k) += arr(k)
+    val nkS = gN.map(_ + vocab * (eta - 1.0))
+    val want = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+    for ((d, w, cnt) <- corpus) {
+      val theta = n(d).map(_ + (eta - 1.0))
+      val thetaSum = theta.sum
+      val dot = (0 until K).map(k => (n(w)(k) + (eta - 1.0)) / nkS(k) * theta(k) / thetaSum).sum
+      want(w) += cnt * math.log(dot)
+    }
+    for ((w, ll) <- want) assert(math.abs(perWord(w) - ll) < 1e-9, s"word $w")
+    assert(perWord.keySet === want.keySet) // docs receive nothing along OUT edges
+    assert(math.abs(total - want.values.sum) < 1e-9)
+    assert(total < 0.0)
+  }
 }
