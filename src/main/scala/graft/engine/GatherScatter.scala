@@ -219,12 +219,15 @@ object GatherScatter {
       numEdges: Long,
       numVertices: Long,
       // the persisted RDD `verts`/`inIdx` are views of (kept for unpersist)
-      private val combined: Option[RDD[(VertexMeta, Array[Array[Int]])]] = None) {
+      private val combined: Option[RDD[(VertexMeta, Array[Array[Int]])]] = None,
+      // snapshot loads cache ONE (csr, meta) RDD and expose views — see load()
+      private val backing: Option[RDD[_]] = None) {
     /** The one persisted (VertexMeta, inIdx) RDD — supersteps zip against
       * this single handle so zipPartitions arity stays within bounds. */
     def meta: RDD[(VertexMeta, Array[Array[Int]])] =
       combined.getOrElse(verts.zip(inIdx))
     def unpersist(): Unit = {
+      backing.foreach(_.unpersist(blocking = false))
       csr.unpersist(blocking = false)
       combined.foreach(_.unpersist(blocking = false))
       verts.unpersist(blocking = false)
@@ -650,19 +653,32 @@ object GatherScatter {
            ois.readObject().asInstanceOf[Array[Long]])
       finally ois.close()
     val idPart = new IdPartitioner(n)
-    val csr = sc.objectFile[(Int, CsrBlock)](s"$path/csr")
-      .partitionBy(idPart)
-      .mapPartitions(it => it.map(_._2), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    csr.count()
-    val meta = sc.objectFile[(Int, (VertexMeta, Array[Array[Int]]))](s"$path/meta")
-      .partitionBy(idPart)
-      .mapPartitions(it => it.map(_._2), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    meta.count()
+    // CRITICAL: cache ONE combined (csr, meta) RDD, not two. Caching the two
+    // object files separately puts partition i's CSR block and its vertex
+    // metadata on INDEPENDENT executors (both arrive via shuffles that, with
+    // reduce-locality off, carry no location preference), and then every
+    // superstep's zip task has conflicting cache preferences and remote-reads
+    // one ~100s-of-MB deserialized block per partition per superstep — a
+    // fetch that never shows in shuffle remoteBytesRead. Measured on the
+    // 65M-edge snapshot: 2x4-core executors 21s -> 5s per 10 supersteps from
+    // this one change; single-executor runs can't misalign, which is why the
+    // bug only taxed multi-executor legs.
+    val all: RDD[(CsrBlock, (VertexMeta, Array[Array[Int]]))] =
+      sc.objectFile[(Int, CsrBlock)](s"$path/csr")
+        .partitionBy(idPart)
+        .zipPartitions(
+          sc.objectFile[(Int, (VertexMeta, Array[Array[Int]]))](s"$path/meta")
+            .partitionBy(idPart),
+          preservesPartitioning = true) { (cIt, mIt) =>
+            Iterator.single((cIt.next()._2, mIt.next()._2))
+          }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    all.count()
+    val csr = all.mapPartitions(it => it.map(_._1), preservesPartitioning = true)
+    val meta = all.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
     val verts = meta.mapPartitions(it => it.map(_._1), preservesPartitioning = true)
     val inIdx = meta.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
-    PrGraph(csr, verts, inIdx, hotIds, n, nE, nV, Some(meta))
+    PrGraph(csr, verts, inIdx, hotIds, n, nE, nV, Some(meta), Some(all))
   }
 
   /** Dense rank vectors, one Array[Double] per partition, aligned to VertexMeta.ids. */
