@@ -135,4 +135,27 @@ class GatherScatterSpec extends AnyFunSuite {
     for ((k, v) <- want) assert(got(k) === v, s"bit-for-bit parity, vertex $k")
     loaded.unpersist()
   }
+
+  test("load() caches ONE combined block RDD (csr+meta co-placement is structural)") {
+    // Regression: caching csr and meta as two separately-shuffled RDDs lets
+    // partition i's edge blocks and vertex metadata land on DIFFERENT
+    // executors (their cache tasks carry no mutual location preference), and
+    // every superstep zip then remote-reads a cached block — measured 21s ->
+    // 4.4s per 10 supersteps on 2x4-core executors at 65M edges. One backing
+    // RDD makes the alignment structural; this pins the invariant.
+    val graph = Transcripts.toGraph(Transcripts.synthesize(s, 100))
+    val built = GatherScatter.build(graph, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap1").toString
+    GatherScatter.save(built, s"$dir/g")
+    built.unpersist()
+    graph.unpersistAll()
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val loaded = GatherScatter.load(s, s"$dir/g")
+    val added = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size === 1,
+      s"load() must persist exactly one combined RDD, persisted ${added.size}")
+    loaded.unpersist()
+    assert((s.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "unpersist() must free the backing RDD")
+  }
 }
