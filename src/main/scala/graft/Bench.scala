@@ -38,8 +38,9 @@ import graft.tools.ClusterProbe
  *    task-blessed two-parallelism-level evidence, one pre-touched JVM.
  *  - "scaling_hash": the executor pair under pure vertex-hash partitioning
  *    (worst-case cut — prices the exchange itself).
- *  - "scaling_8_32": 2x4 vs 8x4 executors on the headline graph — the
- *    DRAM-bandwidth-knee diagnostic under executor isolation.
+ *  - "scaling_8_32": 2x4 vs 8x4 executors on the co-located 64-partition
+ *    scale snapshot — the DRAM-bandwidth-knee diagnostic under executor
+ *    isolation (full core occupancy, zero cross-JVM exchange bytes).
  *  - "cluster_throughput": 4x4 co-located — peak multi-executor rate.
  *  - "isolation_tax": 1x8 vs 4x2 — same total cores; only the number of JVM
  *    boundaries the exchange crosses differs. Full analysis in BASELINE.md.
@@ -242,7 +243,6 @@ object Bench {
     val snapPair = snap("scale-64-s20", scalePath, 64, 20)
     val snapHash = snap("scale-16-s0", scalePath, 16, 0)
     val snapColo = snap("scale-16-s20", scalePath, 16, 20)
-    val snapHead = snap("head-32-s0", edgePath, 32, 0)
     gen.stop()
 
     // ---- N -> 4N EXECUTORS (the north rule's pair), real executor JVMs ----
@@ -313,9 +313,13 @@ object Bench {
     // ---- isolation tax: same 8 cores, 1 JVM vs 4 JVMs, worst-case cut ----
     val j1 = clusterLeg(1, 8, 10240, snapHash, iters = 5, reps = 2)
     val j4 = clusterLeg(4, 2, 6144, snapHash, iters = 5, reps = 2)
-    // ---- 8 -> 32 cores as executors (round-2 diagnostic, isolated) ----
-    val d8 = clusterLeg(2, 4, 3072, snapHead, iters = 10, reps = 2)
-    val d32 = clusterLeg(8, 4, 3072, snapHead, iters = 10, reps = 2)
+    // ---- 8 -> 32 cores as executors: the DRAM-knee diagnostic ----
+    // co-located 64-partition scale snapshot so all 32 cores have work and
+    // zero exchange bytes cross JVMs — what remains when throughput stops
+    // scaling is the one resource this single machine cannot add per
+    // executor: memory bandwidth
+    val d8 = clusterLeg(2, 4, 8192, snapPair, iters = 10, reps = 2)
+    val d32 = clusterLeg(8, 4, 3072, snapPair, iters = 10, reps = 2)
     val eff832 = (d8.best / d32.best) / (32.0 / 8.0)
 
     // ---- headline throughput + column engine + convergence, local[cpus] ----
@@ -384,7 +388,7 @@ object Bench {
         "pure vertex-hash partitioning: every edge crosses partitions (worst-case cut); on one machine extra executors add remote-shuffle CPU but no DRAM/NIC, so this lower-bounds real-cluster behavior").patch(0, "\"scaling_hash\":", 0)
       sb ++= ","
       sb ++= pairJson("local-cluster", "2x4", "8x4", d8, d32, eff832, (d8.median / d32.median) / 4.0,
-        "8 vs 32 cores as separate executor JVMs on the headline graph - the DRAM-bandwidth-knee diagnostic").patch(0, "\"scaling_8_32\":", 0)
+        "8 vs 32 cores as executor JVMs, co-located 64-partition scale snapshot (full occupancy, zero cross-JVM exchange): the DRAM-bandwidth-knee diagnostic - one machine cannot add memory bandwidth per executor, a real cluster does").patch(0, "\"scaling_8_32\":", 0)
       sb ++= ","
       sb ++= f""""cluster_throughput":{"executors":4,"cores_per_executor":4,"leg":${legJson(ct)},"edges_per_sec":${ct.eps(ct.best)}%.0f,"note":"4x4-core executor JVMs, conversation-colocated, 16 partitions: peak measured multi-executor superstep throughput"},"""
       sb ++= f""""isolation_tax":{"cores_total":8,"jvms_1":${legJson(j1)},"jvms_4":${legJson(j4)},"tax":${j4.best / j1.best}%.2f,"note":"identical work (worst-case cut), only JVM-boundary count differs; a real multi-node cluster adds DRAM+NIC per executor, this machine cannot"}}"""
