@@ -991,6 +991,174 @@ object GatherScatter {
     (out, it)
   }
 
+  // ---- the (min, +) semiring on the same static exchange -----------------
+  //
+  // GraphMat's core claim is vertex-programs-as-semiring-SpMV
+  // (`include/GMDP/...`, VLDB'15 §3). The PageRank path above is the (+, ×)
+  // instance; this is the (min, +) instance over the IDENTICAL build-time
+  // structures — same routed CSR blocks, same split exchange, same hub
+  // mirror. Gather: out(o) = min(out(o), v(src) + delta); the exchange ships
+  // the same packed Array[Double] records (absent contributions = +∞, the
+  // semiring zero); apply: min(old, acc) with a changed count; loop to the
+  // exact fixpoint. Two bundled users: HashMin connected components
+  // (delta = 0, bidirectional edges — `src/ConnectedComponents.cpp`) and BFS
+  // levels (delta = 1, out-edges — `src/BFS.cpp:40-156`). Unlike PageRank's
+  // float ⊕, min is idempotent, so a task retry or speculative duplicate
+  // cannot corrupt the fixpoint at all; the accumulator argument in
+  // `superstep` applies one-sided here too.
+  //
+  // Values ride the rank plumbing as Doubles; vertex LABELS (CC) must
+  // therefore be exact in a Double — enforced as ids < 2^53 at init.
+
+  private def gatherMinPhase(vals: RDD[Array[Double]], g: PrGraph, delta: Double,
+                             hotV: Broadcast[Array[Double]]): RDD[(Int, (Int, Array[Double]))] =
+    vals.zipPartitions(g.csr, g.verts, preservesPartitioning = false) { (rIt, cIt, vIt) =>
+      val v = rIt.next(); val blk = cIt.next(); val vm = vIt.next()
+      val p = TaskContext.getPartitionId()
+      val nS = blk.srcs.length
+      val contrib = new Array[Double](nS)
+      var i = 0
+      while (i < nS) { contrib(i) = v(vm.srcPrIdx(i)) + delta; i += 1 }
+      val out = new Array[Array[Double]](blk.outIds.length)
+      var tp = 0
+      while (tp < blk.outIds.length) {
+        val ids = blk.outIds(tp)
+        if (ids != null) {
+          val o = Array.fill(ids.length)(Double.PositiveInfinity)
+          val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
+          var e = 0
+          while (e < es.length) {
+            val c = contrib(es(e))
+            if (c < o(eo(e))) o(eo(e)) = c
+            e += 1
+          }
+          out(tp) = o
+        }
+        tp += 1
+      }
+      if (blk.hotEdgeSrcIdx.length > 0) {
+        val hp = hotV.value
+        val hc = new Array[Double](blk.hotLocal.length)
+        i = 0
+        while (i < hc.length) { hc(i) = hp(blk.hotLocal(i)) + delta; i += 1 }
+        if (out(p) == null) out(p) = Array.fill(
+          if (blk.outIds(p) == null) 0 else blk.outIds(p).length)(Double.PositiveInfinity)
+        val o = out(p)
+        val hs = blk.hotEdgeSrcIdx; val ho = blk.hotEdgeOutIdx
+        var e = 0
+        while (e < hs.length) {
+          val c = hc(hs(e))
+          if (c < o(ho(e))) o(ho(e)) = c
+          e += 1
+        }
+      }
+      Iterator.range(0, out.length).filter(out(_) != null).map(tp => (tp, (p, out(tp))))
+    }
+
+  private def minStep(g: PrGraph, vals: RDD[Array[Double]], delta: Double,
+                      changedAcc: org.apache.spark.util.LongAccumulator,
+                      hotV: Broadcast[Array[Double]]): (RDD[Array[Double]], RDD[_]) = {
+    val idPart = new IdPartitioner(g.numPartitions)
+    val gathered = gatherMinPhase(vals, g, delta, hotV)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val remote = gathered.mapPartitionsWithIndex(
+        (p, it) => it.filter(_._1 != p), preservesPartitioning = false)
+      .partitionBy(idPart)
+    val next = remote.zipPartitions(gathered, g.meta, vals, preservesPartitioning = true) {
+      (rIt, lIt, mIt, oIt) =>
+        val (vm, inIdx) = mIt.next(); val old = oIt.next()
+        val p = TaskContext.getPartitionId()
+        val acc = Array.fill(vm.nRecv)(Double.PositiveInfinity)
+        @inline def fold(q: Int, vs: Array[Double]): Unit = {
+          val idx = inIdx(q)
+          var i = 0
+          while (i < vs.length) { if (vs(i) < acc(idx(i))) acc(idx(i)) = vs(i); i += 1 }
+        }
+        lIt.foreach { case (tp, (q, vs)) => if (tp == p) fold(q, vs) }
+        rIt.foreach { case (_, (q, vs)) => fold(q, vs) }
+        val nV = vm.ids.length
+        val out = new Array[Double](nV)
+        var changed = 0L
+        var i = 0
+        while (i < vm.nRecv) {
+          val nv = if (acc(i) < old(i)) acc(i) else old(i)
+          out(i) = nv
+          if (nv < old(i)) changed += 1
+          i += 1
+        }
+        while (i < nV) { out(i) = old(i); i += 1 }
+        changedAcc.add(changed)
+        Iterator.single(out)
+    }
+    (next, gathered)
+  }
+
+  /** Run the (min, +) propagation from `init` to its exact fixpoint.
+    * Returns (value blocks, supersteps run). Vertices never reached keep
+    * their init value (+∞ for single-source inits). */
+  def minFixpoint(g: PrGraph, init: RDD[Array[Double]], delta: Double,
+                  maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+    val sc = g.csr.sparkContext
+    var vals = init.persist(StorageLevel.MEMORY_AND_DISK)
+    vals.count()
+    var prev = vals
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val changedAcc = sc.longAccumulator(s"min-changed-$it")
+      val hotV = if (g.hotIds.isEmpty) null
+                 else sc.broadcast(hotMirror(g, vals))
+      val (nv, gth) = minStep(g, vals, delta, changedAcc, hotV)
+      val newVals = nv.persist(StorageLevel.MEMORY_AND_DISK)
+      // long-diameter graphs (chains) run many supersteps: bound lineage
+      if ((it + 1) % 16 == 0) newVals.localCheckpoint()
+      newVals.count()
+      gth.unpersist(blocking = false)
+      if (hotV != null) hotV.unpersist(blocking = false)
+      prev.unpersist(blocking = false)
+      prev = newVals
+      vals = newVals
+      it += 1
+      converged = changedAcc.value == 0L
+    }
+    val out = materialize(g, vals)
+    vals.unpersist(blocking = false)
+    (out, it)
+  }
+
+  /** HashMin connected components on the (min, +) kernel: every vertex
+    * starts as its own label and adopts the minimum label reachable along
+    * the graph's edges. For the reference's WEAK components semantics
+    * (`src/ConnectedComponents.cpp`; undirected ⊕=min), build the PrGraph on
+    * a bidirectional edge set (e.g. `LinkGraph.undirected`). */
+  def connectedComponents(g: PrGraph, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+    val init = g.verts.mapPartitions({ it =>
+      val vm = it.next()
+      val a = new Array[Double](vm.ids.length)
+      var i = 0
+      while (i < a.length) {
+        require(vm.ids(i) < (1L << 53), s"vertex id ${vm.ids(i)} not exact in a Double label")
+        a(i) = vm.ids(i).toDouble
+        i += 1
+      }
+      Iterator.single(a)
+    }, preservesPartitioning = true)
+    minFixpoint(g, init, delta = 0.0, maxIterations)
+  }
+
+  /** BFS levels from `source` on the (min, +) kernel (delta = 1 along
+    * out-edges). Unreached vertices keep +∞ (the column engine's -1 analog). */
+  def bfs(g: PrGraph, source: Long, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+    val init = g.verts.mapPartitions({ it =>
+      val vm = it.next()
+      val a = Array.fill(vm.ids.length)(Double.PositiveInfinity)
+      var i = 0
+      while (i < a.length) { if (vm.ids(i) == source) a(i) = 0.0; i += 1 }
+      Iterator.single(a)
+    }, preservesPartitioning = true)
+    minFixpoint(g, init, delta = 1.0, maxIterations)
+  }
+
   /** DataFrame view of the final ranks (conformance tests / sinks). */
   def toDF(spark: SparkSession, ranks: RDD[RankBlock]): DataFrame = {
     val rows = ranks.flatMap(b => b.ids.indices.iterator.map(i => Row(b.ids(i), b.pr(i))))

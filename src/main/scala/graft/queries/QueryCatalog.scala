@@ -125,6 +125,24 @@ object QueryCatalog {
       Bfs.run(g, minVertex(g)).state
         .filter(col("depth") >= 0).select(col("id"), col("depth"))
     }),
+    // the same two algorithms on the CSR (min,+) fast path — the gather-
+    // scatter kernel's SECOND semiring, gated against the same external
+    // oracles the column-engine variants use (engine/GatherScatter.scala)
+    "g_cc_csr" -> ((s, dir) => {
+      val built = graft.engine.GatherScatter.build(bucketGraph(s, dir).undirected, 8)
+      val (labels, _) = graft.engine.GatherScatter.connectedComponents(built)
+      graft.engine.GatherScatter.toDF(s, labels)
+        .select(col("id"), col("pagerank").cast("long").as("component"))
+    }),
+    "g_bfs_csr" -> ((s, dir) => {
+      val g = bucketGraph(s, dir)
+      val src = minVertex(g)
+      val built = graft.engine.GatherScatter.build(g, 8)
+      val (depths, _) = graft.engine.GatherScatter.bfs(built, src)
+      graft.engine.GatherScatter.toDF(s, depths)
+        .filter(col("pagerank") =!= Double.PositiveInfinity)
+        .select(col("id"), col("pagerank").cast("long").as("depth"))
+    }),
     "g_sssp" -> ((s, dir) => {
       val g = bucketGraph(s, dir)
       Sssp.run(g, minVertex(g)).state
@@ -232,8 +250,20 @@ object QueryCatalog {
         |  SELECT src AS id, user_id, bkt FROM bucket
         |  UNION SELECT dst, user_id, bkt FROM bucket)
         |SELECT id, min(id) OVER (PARTITION BY user_id, bkt) AS component FROM members""".stripMargin),
+    "g_cc_csr" -> (EventGraph.sqlBase +
+      """, members AS (
+        |  SELECT src AS id, user_id, bkt FROM bucket
+        |  UNION SELECT dst, user_id, bkt FROM bucket)
+        |SELECT id, min(id) OVER (PARTITION BY user_id, bkt) AS component FROM members""".stripMargin),
     "g_lp" -> lpUnrolled,
     "g_bfs" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
+        |s0 AS (SELECT * FROM mrn WHERE id = (SELECT min(id) FROM mrn))
+        |SELECT m.id, m.rn - s0.rn AS depth FROM mrn m, s0
+        |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
+    "g_bfs_csr" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),

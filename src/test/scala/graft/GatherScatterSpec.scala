@@ -136,6 +136,50 @@ class GatherScatterSpec extends AnyFunSuite {
     loaded.unpersist()
   }
 
+  test("(min,+) kernel: connected components == column-engine HashMin (reference graph + transcripts + planted hub)") {
+    // the same static exchange running the second semiring: labels must hit
+    // the exact weak-component fixpoint the declarative engine computes
+    val cases = Seq(
+      "test.bin.mtx" -> LinkGraph(
+        graft.sources.MtxReader.read(s, "/root/reference/data/test.bin.mtx"), 4),
+      "transcripts" -> Transcripts.toGraph(Transcripts.synthesize(s, 150)),
+      // planted hub: vertex 1 fans out past any hot threshold, exercising
+      // the mirror-broadcast path of the min kernel
+      "hub" -> LinkGraph.fromSeq(s,
+        (2L to 600L).map(i => Edge(1L, i, 1.0)) ++
+          Seq(Edge(700L, 701L, 1.0), Edge(701L, 702L, 1.0)), 4)
+    )
+    for ((name, g) <- cases) {
+      val want = graft.algos.ConnectedComponents.run(g).state
+        .select("id", "component").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val und = g.undirected
+      val built = GatherScatter.build(und,
+        numPartitions = 4, hotDegree = if (name == "hub") 100 else 0)
+      val (labels, iters) = GatherScatter.connectedComponents(built)
+      val got = GatherScatter.toDF(s, labels).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap
+      assert(got === want, s"case $name (converged in $iters supersteps)")
+      labels.unpersist(false); built.unpersist()
+      und.unpersistAll(); g.unpersistAll()
+    }
+  }
+
+  test("(min,+) kernel: BFS levels == column-engine BFS on the reference graph") {
+    val g = LinkGraph(
+      graft.sources.MtxReader.read(s, "/root/reference/data/test.bin.mtx"), 4)
+    val want = graft.algos.Bfs.run(g, 1L).state
+      .filter(org.apache.spark.sql.functions.col("depth") >= 0)
+      .select("id", "depth").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val built = GatherScatter.build(g, 4)
+    val (depths, _) = GatherScatter.bfs(built, 1L)
+    val got = GatherScatter.toDF(s, depths).collect()
+      .filter(!_.getDouble(1).isInfinity)
+      .map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap
+    assert(got === want)
+    depths.unpersist(false); built.unpersist(); g.unpersistAll()
+  }
+
   test("load() caches ONE combined block RDD (csr+meta co-placement is structural)") {
     // Regression: caching csr and meta as two separately-shuffled RDDs lets
     // partition i's edge blocks and vertex metadata land on DIFFERENT
