@@ -138,6 +138,28 @@ object Bench {
     Leg(g.numEdges, iters, walls, steal)
   }
 
+  /** (min,+) kernel throughput: HashMin connected components to the exact
+    * fixpoint on the undirected headline graph — the second semiring on the
+    * same static exchange. Timed window = the fixpoint loop; supersteps come
+    * from the run itself, so eps is per-superstep like the PageRank legs. */
+  private def ccBench(spark: SparkSession, edgePath: String, reps: Int,
+                      numPartitions: Int = 32): (Leg, Int) = {
+    val graph = LinkGraph(spark.read.parquet(edgePath))
+    val und = graph.undirected
+    val g = GatherScatter.build(und, numPartitions = numPartitions)
+    GatherScatter.connectedComponents(g, maxIterations = 2)._1.unpersist(false)
+    var iters = 0
+    val (walls, steal) = timedReps(reps) { () =>
+      val (labels, it) = GatherScatter.connectedComponents(g)
+      labels.unpersist(false)
+      iters = it
+    }
+    g.unpersist()
+    und.unpersistAll()
+    graph.unpersistAll()
+    (Leg(g.numEdges, iters, walls, steal), iters)
+  }
+
   /** One local-cluster leg: fresh executor JVMs, LOAD the prebuilt CSR
     * snapshot (GatherScatter.save/load — the reference's ReadGraphMatBin
     * analog; legs time supersteps, not ingest), fastBench loop, teardown. */
@@ -326,6 +348,7 @@ object Bench {
     val s4N = session(cpus)
     val head = fastBench(s4N, edgePath, iters = 10, warmIters = 2, reps = 3)
     val sql = sqlBench(s4N, edgePath, iters = 5, warmIters = 2, reps = 3)
+    val (ccLeg, ccIters) = ccBench(s4N, edgePath, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -375,6 +398,7 @@ object Bench {
       sb ++= s""""query_errors":$qErrs,"caches_swept":$swept,"cache_leaks_after_sweep":$leaks,"""
       sb ++= f""""pagerank":{"path":"gather-scatter","leg":${legJson(head)},"edges_per_sec":${head.eps(head.best)}%.0f,"convergence":{"tol":1e-5,"iterations":$convIters,"sec":$convSec%.3f}},"""
       sb ++= f""""pagerank_sql":{"path":"column-engine","leg":${legJson(sql)},"edges_per_sec":${sql.eps(sql.best)}%.0f},"""
+      sb ++= f""""cc_minplus":{"path":"gather-scatter (min,+)","leg":${legJson(ccLeg)},"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps_to_fixpoint":$ccIters,"note":"HashMin connected components to the exact changed==0 fixpoint on the undirected headline graph - the kernel's second semiring on the same routed CSR blocks and split exchange"},"""
       sb ++= pairJson("local-cluster", "1x1", "4x1", c1, c4, effC, effCMed,
         "1 vs 4 single-core executor JVMs (pre-touched heaps), scale graph, 64 cache-blocked conversation-colocated partitions (keyShift=20), interleaved rounds, snapshot load; total cores stay under the DRAM knee (see scaling_8_32) so the pair isolates executor scaling from host bandwidth - BASELINE.md Scaling").patch(0, "\"scaling\":", 0)
       sb ++= ","
@@ -406,6 +430,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":${jstr(sfDir)},"full":"bench_full.json",""" +
       f""""pagerank":{"edges":${head.edges},"supersteps":${head.iters},"sec":${head.best}%.2f,"edges_per_sec":${head.eps(head.best)}%.0f,"conv_iters":$convIters,"conv_sec":$convSec%.1f},""" +
       f""""pagerank_sql":{"sec":${sql.best}%.2f,"edges_per_sec":${sql.eps(sql.best)}%.0f},""" +
+      f""""cc_minplus":{"sec":${ccLeg.best}%.2f,"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps":$ccIters},""" +
       s""""scaling":${cPair(c1, c4, effC)},""" +
       s""""scaling_fixed_cores":${cPair(f2, f8, effF)},""" +
       s""""scaling_threads":${cPair(t1, t4, effT)},""" +
