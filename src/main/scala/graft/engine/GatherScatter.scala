@@ -196,7 +196,12 @@ object GatherScatter {
       hotLocal: Array[Int],          // global hot-list index of hot srcs with edges here
       hotLocalInvDeg: Array[Double], // 1/globalDegree aligned to hotLocal
       hotEdgeSrcIdx: Array[Int],     // per hot edge: index into hotLocal
-      hotEdgeOutIdx: Array[Int])     // per hot edge: index into outIds(self)
+      hotEdgeOutIdx: Array[Int],     // per hot edge: index into outIds(self)
+      // per-edge weights for the weighted (min,+) path, aligned positionally
+      // with edgeSrcIdx(tp) / hotEdgeSrcIdx. null on unweighted builds (the
+      // PageRank path never reads them; invDeg covers its uniform case).
+      edgeW: Array[Array[Double]] = null,
+      hotEdgeW: Array[Double] = null)
 
   /** Static per-partition vertex layout: receivers (in-degree > 0) occupy
     * ids[0, nRecv); in-degree-0 srcs follow. `srcPrIdx` aligns CsrBlock.srcs
@@ -221,7 +226,9 @@ object GatherScatter {
       // the persisted RDD `verts`/`inIdx` are views of (kept for unpersist)
       private val combined: Option[RDD[(VertexMeta, Array[Array[Int]])]] = None,
       // snapshot loads cache ONE (csr, meta) RDD and expose views — see load()
-      private val backing: Option[RDD[_]] = None) {
+      private val backing: Option[RDD[_]] = None,
+      // built with per-edge weights (build(..., weighted = true))
+      weighted: Boolean = false) {
     /** The one persisted (VertexMeta, inIdx) RDD — supersteps zip against
       * this single handle so zipPartitions arity stays within bounds. */
     def meta: RDD[(VertexMeta, Array[Array[Int]])] =
@@ -273,6 +280,16 @@ object GatherScatter {
     def trimB: Array[Int] = java.util.Arrays.copyOf(b, m)
   }
 
+  /** Growable primitive double builder (per-edge weights, weighted builds). */
+  private final class DblBuf {
+    var a = new Array[Double](256); var m = 0
+    def add(x: Double): Unit = {
+      if (m == a.length) a = java.util.Arrays.copyOf(a, m << 1)
+      a(m) = x; m += 1
+    }
+    def trim: Array[Double] = java.util.Arrays.copyOf(a, m)
+  }
+
   /**
    * Build the static structures once. `hotDegree` <= 0 picks an automatic
    * threshold (a src is "hot" when its edge list exceeds a quarter of an
@@ -291,7 +308,7 @@ object GatherScatter {
    * right default for ids with no exploitable structure).
    */
   def build(graph: LinkGraph, numPartitions: Int = 0, hotDegree: Long = 0L,
-            keyShift: Int = 0): PrGraph = {
+            keyShift: Int = 0, weighted: Boolean = false): PrGraph = {
     val n = if (numPartitions > 0) numPartitions else graph.numPartitions
     val idPart = new IdPartitioner(n)
     val sc = graph.edges.sparkSession.sparkContext
@@ -307,7 +324,9 @@ object GatherScatter {
     // 1 disagree with the edges routed in pass 2, and (b) an expensive
     // upstream pipeline is paid once, not twice.
     import org.apache.spark.sql.functions.{col => c9, count => cnt}
-    val edgePairs = graph.edges.select(c9("src"), c9("dst"))
+    val edgePairs = (if (weighted)
+        graph.edges.select(c9("src"), c9("dst"), c9("weight").cast("double"))
+      else graph.edges.select(c9("src"), c9("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // degree-aware split: find srcs whose out-degree exceeds the threshold.
@@ -337,31 +356,37 @@ object GatherScatter {
     // packed form and dominated by tuple allocation + GC.
     val nLoc = n // plain local so closures don't capture the outer object
     val shiftLoc = keyShift
+    val wLoc = weighted
+    // weighted records append raw Double bits as a third long slot
+    val stride = if (weighted) 3 else 2
     val routed: RDD[(Int, Array[Long])] = edgePairs.rdd
       .mapPartitions { it =>
         val hot = hotBc.value
         val bufs = new Array[Array[Long]](nLoc)
         val lens = new Array[Int](nLoc)
         var out = List.empty[(Int, Array[Long])]
-        val CHUNK = 1 << 21 // 16 MB of longs per emitted record, max
+        val CHUNK = stride << 20 // ~8-24 MB of longs per emitted record, max
         while (it.hasNext) {
           val r = it.next()
           val s = r.getLong(0); val d = r.getLong(1)
           val key = if (hot.getOrNaN(s).isNaN) s else d
           val tp = partOf(key >>> shiftLoc, nLoc)
           var b = bufs(tp)
-          if (b == null) { b = new Array[Long](1 << 10); bufs(tp) = b }
+          if (b == null) { b = new Array[Long](stride << 9); bufs(tp) = b }
           if (lens(tp) == b.length) {
             if (b.length >= CHUNK) {
               out ::= (tp, b) // exactly full: emit and start a fresh chunk
-              b = new Array[Long](1 << 10); bufs(tp) = b; lens(tp) = 0
+              b = new Array[Long](stride << 9); bufs(tp) = b; lens(tp) = 0
             } else {
               b = java.util.Arrays.copyOf(b, b.length << 1); bufs(tp) = b
             }
           }
-          // pairs are 2 slots; lens and capacities are even, so a pair never
-          // straddles a capacity boundary
-          b(lens(tp)) = s; b(lens(tp) + 1) = d; lens(tp) += 2
+          // records are `stride` slots; capacities are multiples of stride
+          // (initial stride<<9, growth doubles), so a record never straddles
+          // a capacity boundary
+          b(lens(tp)) = s; b(lens(tp) + 1) = d
+          if (wLoc) b(lens(tp) + 2) = java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+          lens(tp) += stride
         }
         var tp = 0
         while (tp < nLoc) {
@@ -379,6 +404,7 @@ object GatherScatter {
         val hDeg = hotDegBc.value
         var capE = 1 << 12
         var srcA = new Array[Long](capE); var dstA = new Array[Long](capE); var m = 0
+        var wgtA: Array[Double] = if (wLoc) new Array[Double](capE) else null
         while (it.hasNext) {
           val chunk = it.next()._2
           var ci = 0
@@ -387,9 +413,12 @@ object GatherScatter {
               capE <<= 1
               srcA = java.util.Arrays.copyOf(srcA, capE)
               dstA = java.util.Arrays.copyOf(dstA, capE)
+              if (wLoc) wgtA = java.util.Arrays.copyOf(wgtA, capE)
             }
-            srcA(m) = chunk(ci); dstA(m) = chunk(ci + 1); m += 1
-            ci += 2
+            srcA(m) = chunk(ci); dstA(m) = chunk(ci + 1)
+            if (wLoc) wgtA(m) = java.lang.Double.longBitsToDouble(chunk(ci + 2))
+            m += 1
+            ci += stride
           }
         }
         // local (non-hot) srcs: all their edges are here, so local degree is global
@@ -414,6 +443,10 @@ object GatherScatter {
         val outLen = new Array[Int](nTp)
         val ebuf = new Array[IntPairBuf](nTp)
         val hbuf = new IntPairBuf
+        // weights stay positionally aligned with ebuf/hbuf adds: the remap
+        // below rewrites index VALUES in place, never reorders entries
+        val wbuf: Array[DblBuf] = if (wLoc) new Array[DblBuf](nTp) else null
+        val hwbuf: DblBuf = if (wLoc) new DblBuf else null
         // local hot srcs (hot srcs with shard edges in this partition)
         val hotLocMap = new LongDoubleMap(64) // hot id -> local hot idx
         var hotLocIdx = new Array[Int](16); var nHotLoc = 0
@@ -445,6 +478,10 @@ object GatherScatter {
           if (gHot.isNaN) {
             val oi = outIdxOf(tp, d) // creates the bucket (incl. ebuf) if new
             ebuf(tp).add(idxMap.getOrNaN(s).toInt, oi)
+            if (wLoc) {
+              if (wbuf(tp) == null) wbuf(tp) = new DblBuf
+              wbuf(tp).add(wgtA(i))
+            }
           } else {
             // hot edge: routed here by dst, so tp == this partition
             val g = gHot.toInt
@@ -458,6 +495,7 @@ object GatherScatter {
               nHotLoc += 1
             }
             hbuf.add(loc.toInt, outIdxOf(tp, d))
+            if (wLoc) hwbuf.add(wgtA(i))
           }
           i += 1
         }
@@ -500,10 +538,14 @@ object GatherScatter {
           hOut(i) = outPerm(p)(hOut(i)) // hot edges target the local bucket
           i += 1
         }
+        val eW: Array[Array[Double]] =
+          if (!wLoc) null
+          else Array.tabulate(nTp)(tp => if (wbuf(tp) == null) null else wbuf(tp).trim)
         Iterator.single(CsrBlock(
           srcsS, invDegS, outIds, eSrc, eOut,
           hLoc, hLoc.map(g => 1.0 / hDeg(g)),
-          hSrc, hOut))
+          hSrc, hOut,
+          eW, if (wLoc) hwbuf.trim else null))
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     csr.count()
@@ -613,7 +655,8 @@ object GatherScatter {
     // driver on demand where a destroyed one would crash the replay.
     hotBc.unpersist(blocking = false)
     hotDegBc.unpersist(blocking = false)
-    PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV, Some(vertsAndIdx))
+    PrGraph(csr, verts, inIdx, hotIds, n, numEdges, nV, Some(vertsAndIdx),
+      weighted = weighted)
   }
 
   /**
@@ -640,6 +683,7 @@ object GatherScatter {
     try {
       oos.writeInt(g.numPartitions); oos.writeLong(g.numEdges)
       oos.writeLong(g.numVertices); oos.writeObject(g.hotIds)
+      oos.writeBoolean(g.weighted)
     } finally oos.close()
   }
 
@@ -648,9 +692,9 @@ object GatherScatter {
     val hp = new org.apache.hadoop.fs.Path(s"$path/manifest.bin")
     val ois = new java.io.ObjectInputStream(
       hp.getFileSystem(sc.hadoopConfiguration).open(hp))
-    val (n, nE, nV, hotIds) =
+    val (n, nE, nV, hotIds, wtd) =
       try (ois.readInt(), ois.readLong(), ois.readLong(),
-           ois.readObject().asInstanceOf[Array[Long]])
+           ois.readObject().asInstanceOf[Array[Long]], ois.readBoolean())
       finally ois.close()
     val idPart = new IdPartitioner(n)
     // CRITICAL: cache ONE combined (csr, meta) RDD, not two. Caching the two
@@ -678,7 +722,8 @@ object GatherScatter {
     val meta = all.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
     val verts = meta.mapPartitions(it => it.map(_._1), preservesPartitioning = true)
     val inIdx = meta.mapPartitions(it => it.map(_._2), preservesPartitioning = true)
-    PrGraph(csr, verts, inIdx, hotIds, n, nE, nV, Some(meta), Some(all))
+    PrGraph(csr, verts, inIdx, hotIds, n, nE, nV, Some(meta), Some(all),
+      weighted = wtd)
   }
 
   /** Dense rank vectors, one Array[Double] per partition, aligned to VertexMeta.ids. */
@@ -1011,14 +1056,18 @@ object GatherScatter {
   // therefore be exact in a Double — enforced as ids < 2^53 at init.
 
   private def gatherMinPhase(vals: RDD[Array[Double]], g: PrGraph, delta: Double,
-                             hotV: Broadcast[Array[Double]]): RDD[(Int, (Int, Array[Double]))] =
+                             hotV: Broadcast[Array[Double]],
+                             useW: Boolean): RDD[(Int, (Int, Array[Double]))] =
     vals.zipPartitions(g.csr, g.verts, preservesPartitioning = false) { (rIt, cIt, vIt) =>
       val v = rIt.next(); val blk = cIt.next(); val vm = vIt.next()
       val p = TaskContext.getPartitionId()
       val nS = blk.srcs.length
+      // unweighted: fold the uniform delta into the per-src contribution once;
+      // weighted: contribution is per-EDGE (v(src) + w(e)), so keep v(src)
+      val base = if (useW) 0.0 else delta
       val contrib = new Array[Double](nS)
       var i = 0
-      while (i < nS) { contrib(i) = v(vm.srcPrIdx(i)) + delta; i += 1 }
+      while (i < nS) { contrib(i) = v(vm.srcPrIdx(i)) + base; i += 1 }
       val out = new Array[Array[Double]](blk.outIds.length)
       var tp = 0
       while (tp < blk.outIds.length) {
@@ -1026,9 +1075,10 @@ object GatherScatter {
         if (ids != null) {
           val o = Array.fill(ids.length)(Double.PositiveInfinity)
           val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
+          val ws = if (useW) blk.edgeW(tp) else null
           var e = 0
           while (e < es.length) {
-            val c = contrib(es(e))
+            val c = if (ws == null) contrib(es(e)) else contrib(es(e)) + ws(e)
             if (c < o(eo(e))) o(eo(e)) = c
             e += 1
           }
@@ -1040,14 +1090,15 @@ object GatherScatter {
         val hp = hotV.value
         val hc = new Array[Double](blk.hotLocal.length)
         i = 0
-        while (i < hc.length) { hc(i) = hp(blk.hotLocal(i)) + delta; i += 1 }
+        while (i < hc.length) { hc(i) = hp(blk.hotLocal(i)) + base; i += 1 }
         if (out(p) == null) out(p) = Array.fill(
           if (blk.outIds(p) == null) 0 else blk.outIds(p).length)(Double.PositiveInfinity)
         val o = out(p)
         val hs = blk.hotEdgeSrcIdx; val ho = blk.hotEdgeOutIdx
+        val hw = if (useW) blk.hotEdgeW else null
         var e = 0
         while (e < hs.length) {
-          val c = hc(hs(e))
+          val c = if (hw == null) hc(hs(e)) else hc(hs(e)) + hw(e)
           if (c < o(ho(e))) o(ho(e)) = c
           e += 1
         }
@@ -1057,9 +1108,10 @@ object GatherScatter {
 
   private def minStep(g: PrGraph, vals: RDD[Array[Double]], delta: Double,
                       changedAcc: org.apache.spark.util.LongAccumulator,
-                      hotV: Broadcast[Array[Double]]): (RDD[Array[Double]], RDD[_]) = {
+                      hotV: Broadcast[Array[Double]],
+                      useW: Boolean): (RDD[Array[Double]], RDD[_]) = {
     val idPart = new IdPartitioner(g.numPartitions)
-    val gathered = gatherMinPhase(vals, g, delta, hotV)
+    val gathered = gatherMinPhase(vals, g, delta, hotV, useW)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val remote = gathered.mapPartitionsWithIndex(
         (p, it) => it.filter(_._1 != p), preservesPartitioning = false)
@@ -1097,7 +1149,10 @@ object GatherScatter {
     * Returns (value blocks, supersteps run). Vertices never reached keep
     * their init value (+∞ for single-source inits). */
   def minFixpoint(g: PrGraph, init: RDD[Array[Double]], delta: Double,
-                  maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+                  maxIterations: Int = 1 << 20,
+                  useWeights: Boolean = false): (RDD[RankBlock], Int) = {
+    require(!useWeights || g.weighted,
+      "weighted (min,+) needs build(..., weighted = true)")
     val sc = g.csr.sparkContext
     var vals = init.persist(StorageLevel.MEMORY_AND_DISK)
     vals.count()
@@ -1108,7 +1163,7 @@ object GatherScatter {
       val changedAcc = sc.longAccumulator(s"min-changed-$it")
       val hotV = if (g.hotIds.isEmpty) null
                  else sc.broadcast(hotMirror(g, vals))
-      val (nv, gth) = minStep(g, vals, delta, changedAcc, hotV)
+      val (nv, gth) = minStep(g, vals, delta, changedAcc, hotV, useWeights)
       val newVals = nv.persist(StorageLevel.MEMORY_AND_DISK)
       // long-diameter graphs (chains) run many supersteps: bound lineage
       if ((it + 1) % 16 == 0) newVals.localCheckpoint()
@@ -1149,15 +1204,27 @@ object GatherScatter {
   /** BFS levels from `source` on the (min, +) kernel (delta = 1 along
     * out-edges). Unreached vertices keep +∞ (the column engine's -1 analog). */
   def bfs(g: PrGraph, source: Long, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
-    val init = g.verts.mapPartitions({ it =>
+    minFixpoint(g, singleSourceInit(g, source), delta = 1.0, maxIterations)
+  }
+
+  /** Single-source shortest paths on the weighted (min, +) kernel: the
+    * Bellman-Ford-shaped fixpoint of dist(d) = min(dist(d), dist(s) + w(s,d))
+    * along out-edges (reference `src/SSSP.cpp`; requires nonnegative weights
+    * for the fixpoint to be the true distances). Needs
+    * `build(..., weighted = true)`; unreached vertices keep +∞. */
+  def sssp(g: PrGraph, source: Long, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+    minFixpoint(g, singleSourceInit(g, source), delta = 0.0, maxIterations,
+      useWeights = true)
+  }
+
+  private def singleSourceInit(g: PrGraph, source: Long): RDD[Array[Double]] =
+    g.verts.mapPartitions({ it =>
       val vm = it.next()
       val a = Array.fill(vm.ids.length)(Double.PositiveInfinity)
       var i = 0
       while (i < a.length) { if (vm.ids(i) == source) a(i) = 0.0; i += 1 }
       Iterator.single(a)
     }, preservesPartitioning = true)
-    minFixpoint(g, init, delta = 1.0, maxIterations)
-  }
 
   /** DataFrame view of the final ranks (conformance tests / sinks). */
   def toDF(spark: SparkSession, ranks: RDD[RankBlock]): DataFrame = {

@@ -149,6 +149,17 @@ object QueryCatalog {
         .filter(col("dist") =!= Double.PositiveInfinity)
         .select(col("id"), round(col("dist") + 1e-9, 6).as("dist"))
     }),
+    // SSSP on the CSR weighted (min,+) fast path — the kernel's third
+    // semiring instance (per-edge weights), same external oracle as g_sssp
+    "g_sssp_csr" -> ((s, dir) => {
+      val g = bucketGraph(s, dir)
+      val src = minVertex(g)
+      val built = graft.engine.GatherScatter.build(g, 8, weighted = true)
+      val (dists, _) = graft.engine.GatherScatter.sssp(built, src)
+      graft.engine.GatherScatter.toDF(s, dists)
+        .filter(col("pagerank") =!= Double.PositiveInfinity)
+        .select(col("id"), round(col("pagerank") + 1e-9, 6).as("dist"))
+    }),
     "g_triangle" -> ((s, dir) =>
       TriangleCount.perVertex(richGraph(s, dir)).select(col("id"), col("triangles"))),
     "g_toposort" -> ((s, dir) =>
@@ -172,6 +183,19 @@ object QueryCatalog {
          |$iters
          |SELECT id, round(pr + 1e-9, 6) AS pr FROM pr10""".stripMargin
   }
+
+  // shared by g_sssp (column engine) and g_sssp_csr (weighted (min,+) CSR
+  // kernel): bucket chains make shortest distance a prefix sum of weights
+  private val ssspOracle: String = EventGraph.sqlBase +
+    """, mrn AS (
+      |  SELECT src AS id, user_id, bkt, rn FROM bucket
+      |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
+      |wv AS (SELECT m.id, m.user_id, m.bkt, m.rn, 1.0 + abs(b.value) AS wgt
+      |       FROM mrn m JOIN base b ON b.event_id = m.id),
+      |cum AS (SELECT *, sum(wgt) OVER (PARTITION BY user_id, bkt ORDER BY rn) AS c FROM wv),
+      |s0 AS (SELECT * FROM cum WHERE id = (SELECT min(id) FROM cum))
+      |SELECT m.id, round(m.c - s0.c + 1e-9, 6) AS dist FROM cum m, s0
+      |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin
 
   private val lpUnrolled: String = {
     def round(k: Int) =
@@ -270,16 +294,8 @@ object QueryCatalog {
         |s0 AS (SELECT * FROM mrn WHERE id = (SELECT min(id) FROM mrn))
         |SELECT m.id, m.rn - s0.rn AS depth FROM mrn m, s0
         |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
-    "g_sssp" -> (EventGraph.sqlBase +
-      """, mrn AS (
-        |  SELECT src AS id, user_id, bkt, rn FROM bucket
-        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
-        |wv AS (SELECT m.id, m.user_id, m.bkt, m.rn, 1.0 + abs(b.value) AS wgt
-        |       FROM mrn m JOIN base b ON b.event_id = m.id),
-        |cum AS (SELECT *, sum(wgt) OVER (PARTITION BY user_id, bkt ORDER BY rn) AS c FROM wv),
-        |s0 AS (SELECT * FROM cum WHERE id = (SELECT min(id) FROM cum))
-        |SELECT m.id, round(m.c - s0.c + 1e-9, 6) AS dist FROM cum m, s0
-        |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
+    "g_sssp" -> ssspOracle,
+    "g_sssp_csr" -> ssspOracle,
     "g_toposort" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket

@@ -180,6 +180,58 @@ class GatherScatterSpec extends AnyFunSuite {
     depths.unpersist(false); built.unpersist(); g.unpersistAll()
   }
 
+  test("weighted (min,+) kernel: SSSP == column-engine SSSP (reference graph + transcripts + planted hub)") {
+    // per-edge weights on the same static exchange: distances must hit the
+    // exact Bellman-Ford fixpoint the declarative engine computes (which
+    // GoldenParitySpec ties to a Dijkstra oracle on the reference graph)
+    val cases = Seq(
+      "test.bin.mtx" -> LinkGraph(
+        graft.sources.MtxReader.read(s, "/root/reference/data/test.bin.mtx"), 4),
+      "transcripts" -> Transcripts.toGraph(Transcripts.synthesize(s, 150)),
+      // planted hub with DISTINCT per-edge weights: the hub's edges ride the
+      // mirror-broadcast path, so this pins hotEdgeW alignment specifically
+      "hub" -> LinkGraph.fromSeq(s,
+        (2L to 600L).map(i => Edge(1L, i, 1.0 + (i % 7) * 0.25)) ++
+          Seq(Edge(700L, 701L, 2.5), Edge(701L, 702L, 0.5), Edge(1L, 700L, 4.0)), 4)
+    )
+    for ((name, g) <- cases) {
+      val src = if (name == "hub") 1L else {
+        g.vertices.agg(org.apache.spark.sql.functions.min("id")).head.getLong(0)
+      }
+      val want = graft.algos.Sssp.run(g, src).state
+        .filter(!org.apache.spark.sql.functions.col("dist").isNaN)
+        .select("id", "dist").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val built = GatherScatter.build(g,
+        numPartitions = 4, hotDegree = if (name == "hub") 100 else 0,
+        weighted = true)
+      if (name == "hub") assert(built.hotIds.toSeq === Seq(1L))
+      val (dists, iters) = GatherScatter.sssp(built, src)
+      val got = GatherScatter.toDF(s, dists).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === want.keySet, s"case $name")
+      for ((k, v) <- want)
+        assert(got(k) == v || math.abs(got(k) - v) < 1e-9,
+          s"case $name vertex $k: got ${got(k)} want $v (in $iters supersteps)")
+      dists.unpersist(false); built.unpersist(); g.unpersistAll()
+    }
+  }
+
+  test("weighted build survives save/load round-trip (manifest weighted flag + edgeW blocks)") {
+    val g = LinkGraph.fromSeq(s,
+      Seq(Edge(1L, 2L, 3.0), Edge(2L, 3L, 1.5), Edge(1L, 3L, 10.0), Edge(3L, 4L, 0.25)), 2)
+    val built = GatherScatter.build(g, 2, weighted = true)
+    val dir = java.nio.file.Files.createTempDirectory("gs-wsnap").toString
+    GatherScatter.save(built, dir)
+    val loaded = GatherScatter.load(s, dir)
+    assert(loaded.weighted)
+    val got = GatherScatter.toDF(s, GatherScatter.sssp(loaded, 1L)._1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0); assert(got(2L) === 3.0)
+    assert(got(3L) === 4.5); assert(got(4L) === 4.75)
+    loaded.unpersist(); built.unpersist(); g.unpersistAll()
+  }
+
   test("load() caches ONE combined block RDD (csr+meta co-placement is structural)") {
     // Regression: caching csr and meta as two separately-shuffled RDDs lets
     // partition i's edge blocks and vertex metadata land on DIFFERENT
