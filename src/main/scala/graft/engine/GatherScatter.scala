@@ -1055,41 +1055,55 @@ object GatherScatter {
   // Values ride the rank plumbing as Doubles; vertex LABELS (CC) must
   // therefore be exact in a Double — enforced as ids < 2^53 at init.
 
-  private def gatherMinPhase(vals: RDD[Array[Double]], g: PrGraph, delta: Double,
-                             hotV: Broadcast[Array[Double]],
+  // Internal per-superstep state: values plus "did any vertex here change
+  // last superstep". Because min is MONOTONE and IDEMPOTENT, a partition
+  // whose vertices are all unchanged would re-send contributions every
+  // receiver has already folded — min(old, same) = old — so it can skip its
+  // whole gather: a partition-granularity sparse frontier (GraphMat's
+  // ACTIVE_ONLY sparse vectors, `src/BFS.cpp` frontier semantics, at block
+  // grain). On single-source BFS/SSSP most partitions go quiet after the
+  // first superstep and each level touches only the frontier's blocks.
+  // The hot-mirror part is gated separately (`hotActive`): hub sources are
+  // HOMED elsewhere, so their shard edges must fire when the MIRROR changed,
+  // even in otherwise-quiet partitions.
+  private def gatherMinPhase(vals: RDD[(Array[Double], Boolean)], g: PrGraph,
+                             delta: Double,
+                             hotV: Broadcast[Array[Double]], hotActive: Boolean,
                              useW: Boolean): RDD[(Int, (Int, Array[Double]))] =
     vals.zipPartitions(g.csr, g.verts, preservesPartitioning = false) { (rIt, cIt, vIt) =>
-      val v = rIt.next(); val blk = cIt.next(); val vm = vIt.next()
+      val (v, act) = rIt.next(); val blk = cIt.next(); val vm = vIt.next()
       val p = TaskContext.getPartitionId()
-      val nS = blk.srcs.length
+      val out = new Array[Array[Double]](blk.outIds.length)
       // unweighted: fold the uniform delta into the per-src contribution once;
       // weighted: contribution is per-EDGE (v(src) + w(e)), so keep v(src)
       val base = if (useW) 0.0 else delta
-      val contrib = new Array[Double](nS)
-      var i = 0
-      while (i < nS) { contrib(i) = v(vm.srcPrIdx(i)) + base; i += 1 }
-      val out = new Array[Array[Double]](blk.outIds.length)
-      var tp = 0
-      while (tp < blk.outIds.length) {
-        val ids = blk.outIds(tp)
-        if (ids != null) {
-          val o = Array.fill(ids.length)(Double.PositiveInfinity)
-          val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
-          val ws = if (useW) blk.edgeW(tp) else null
-          var e = 0
-          while (e < es.length) {
-            val c = if (ws == null) contrib(es(e)) else contrib(es(e)) + ws(e)
-            if (c < o(eo(e))) o(eo(e)) = c
-            e += 1
+      if (act) {
+        val nS = blk.srcs.length
+        val contrib = new Array[Double](nS)
+        var i = 0
+        while (i < nS) { contrib(i) = v(vm.srcPrIdx(i)) + base; i += 1 }
+        var tp = 0
+        while (tp < blk.outIds.length) {
+          val ids = blk.outIds(tp)
+          if (ids != null) {
+            val o = Array.fill(ids.length)(Double.PositiveInfinity)
+            val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
+            val ws = if (useW) blk.edgeW(tp) else null
+            var e = 0
+            while (e < es.length) {
+              val c = if (ws == null) contrib(es(e)) else contrib(es(e)) + ws(e)
+              if (c < o(eo(e))) o(eo(e)) = c
+              e += 1
+            }
+            out(tp) = o
           }
-          out(tp) = o
+          tp += 1
         }
-        tp += 1
       }
-      if (blk.hotEdgeSrcIdx.length > 0) {
+      if (hotActive && blk.hotEdgeSrcIdx.length > 0) {
         val hp = hotV.value
         val hc = new Array[Double](blk.hotLocal.length)
-        i = 0
+        var i = 0
         while (i < hc.length) { hc(i) = hp(blk.hotLocal(i)) + base; i += 1 }
         if (out(p) == null) out(p) = Array.fill(
           if (blk.outIds(p) == null) 0 else blk.outIds(p).length)(Double.PositiveInfinity)
@@ -1106,19 +1120,19 @@ object GatherScatter {
       Iterator.range(0, out.length).filter(out(_) != null).map(tp => (tp, (p, out(tp))))
     }
 
-  private def minStep(g: PrGraph, vals: RDD[Array[Double]], delta: Double,
+  private def minStep(g: PrGraph, vals: RDD[(Array[Double], Boolean)], delta: Double,
                       changedAcc: org.apache.spark.util.LongAccumulator,
-                      hotV: Broadcast[Array[Double]],
-                      useW: Boolean): (RDD[Array[Double]], RDD[_]) = {
+                      hotV: Broadcast[Array[Double]], hotActive: Boolean,
+                      useW: Boolean): (RDD[(Array[Double], Boolean)], RDD[_]) = {
     val idPart = new IdPartitioner(g.numPartitions)
-    val gathered = gatherMinPhase(vals, g, delta, hotV, useW)
+    val gathered = gatherMinPhase(vals, g, delta, hotV, hotActive, useW)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val remote = gathered.mapPartitionsWithIndex(
         (p, it) => it.filter(_._1 != p), preservesPartitioning = false)
       .partitionBy(idPart)
     val next = remote.zipPartitions(gathered, g.meta, vals, preservesPartitioning = true) {
       (rIt, lIt, mIt, oIt) =>
-        val (vm, inIdx) = mIt.next(); val old = oIt.next()
+        val (vm, inIdx) = mIt.next(); val old = oIt.next()._1
         val p = TaskContext.getPartitionId()
         val acc = Array.fill(vm.nRecv)(Double.PositiveInfinity)
         @inline def fold(q: Int, vs: Array[Double]): Unit = {
@@ -1140,7 +1154,7 @@ object GatherScatter {
         }
         while (i < nV) { out(i) = old(i); i += 1 }
         changedAcc.add(changed)
-        Iterator.single(out)
+        Iterator.single((out, changed > 0L))
     }
     (next, gathered)
   }
@@ -1154,16 +1168,31 @@ object GatherScatter {
     require(!useWeights || g.weighted,
       "weighted (min,+) needs build(..., weighted = true)")
     val sc = g.csr.sparkContext
-    var vals = init.persist(StorageLevel.MEMORY_AND_DISK)
+    // superstep 0 marks every partition active (correct for any init);
+    // thereafter a partition stays active only while its vertices change
+    var vals = init
+      .mapPartitions(it => it.map(a => (a, true)), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     vals.count()
     var prev = vals
     var it = 0
     var converged = false
+    // the hub MIRROR's own frontier: hot shard edges fire only on supersteps
+    // where some hot vertex's value actually moved (compared driver-side —
+    // the mirror is tiny by construction)
+    var prevHot: Array[Double] = null
     while (!converged && it < maxIterations) {
       val changedAcc = sc.longAccumulator(s"min-changed-$it")
+      var hotActive = false
       val hotV = if (g.hotIds.isEmpty) null
-                 else sc.broadcast(hotMirror(g, vals))
-      val (nv, gth) = minStep(g, vals, delta, changedAcc, hotV, useWeights)
+                 else {
+                   val cur = hotMirror(g, vals.mapPartitions(
+                     it => it.map(_._1), preservesPartitioning = true))
+                   hotActive = prevHot == null || !java.util.Arrays.equals(prevHot, cur)
+                   prevHot = cur
+                   sc.broadcast(cur)
+                 }
+      val (nv, gth) = minStep(g, vals, delta, changedAcc, hotV, hotActive, useWeights)
       val newVals = nv.persist(StorageLevel.MEMORY_AND_DISK)
       // long-diameter graphs (chains) run many supersteps: bound lineage
       if ((it + 1) % 16 == 0) newVals.localCheckpoint()
@@ -1176,7 +1205,8 @@ object GatherScatter {
       it += 1
       converged = changedAcc.value == 0L
     }
-    val out = materialize(g, vals)
+    val out = materialize(g, vals.mapPartitions(
+      it => it.map(_._1), preservesPartitioning = true))
     vals.unpersist(blocking = false)
     (out, it)
   }

@@ -93,6 +93,32 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 2 && args(2) == "min") {
+      // (min,+) kernel walls: CC (dense-ish frontier) vs BFS/SSSP (sparse
+      // frontier after superstep 1 — the partition-skip win shows here)
+      import graft.engine.GatherScatter
+      val und = graph.undirected
+      val gu = GatherScatter.build(und, sys.env.getOrElse("SPARK_GRAFT_NPARTS", "0").toInt)
+      lap("csr build (undirected)")
+      val (cc0, _) = GatherScatter.connectedComponents(gu, maxIterations = 2)
+      cc0.unpersist(false); lap("warm 2 supersteps (cc)")
+      val (cc, ccIt) = GatherScatter.connectedComponents(gu)
+      cc.unpersist(false); lap(s"cc fixpoint ($ccIt supersteps)")
+      gu.unpersist(); und.unpersistAll()
+      val gw = GatherScatter.build(graph,
+        sys.env.getOrElse("SPARK_GRAFT_NPARTS", "0").toInt, weighted = true)
+      lap("csr build (weighted, directed)")
+      val src = graph.vertices.agg(org.apache.spark.sql.functions.min("id")).head.getLong(0)
+      val (b0, _) = GatherScatter.bfs(gw, src, maxIterations = 2)
+      b0.unpersist(false); lap("warm 2 supersteps (bfs)")
+      val (bfsR, bfsIt) = GatherScatter.bfs(gw, src)
+      bfsR.unpersist(false); lap(s"bfs fixpoint ($bfsIt supersteps)")
+      val (ssspR, ssspIt) = GatherScatter.sssp(gw, src)
+      ssspR.unpersist(false); lap(s"sssp fixpoint ($ssspIt supersteps)")
+      gw.unpersist()
+      spark.stop(); return
+    }
+
     PageRank.run(graph, tol = -1.0, maxIterations = 2).state.unpersist() // warm
     lap("warm 2 iters")
 
