@@ -223,13 +223,10 @@ object Sgd {
         val err = col("weight") - est
         df.withColumn("contrib", transform(col("msg"), x => x * err))
       },
-      // ⊕ elementwise: explode the K dims, sum per (vertex, dim), regroup
-      reduce = df => df
-        .select(col("_recv"), posexplode(col("contrib")).as(Seq("k", "v")))
-        .groupBy("_recv", "k").agg(sum("v").as("v"))
-        .groupBy("_recv")
-        .agg(transform(array_sort(collect_list(struct(col("k"), col("v")))),
-          s => s.getField("v")).as("acc")),
+      // ⊕ elementwise over the K dims: native vector_sum — one shuffle at
+      // 1/K the rows vs the explode→regroup shape
+      reduce = df => df.groupBy("_recv")
+        .agg(graft.functions.VectorSum.vector_sum(col("contrib")).as("acc")),
       apply = (df, _) => {
         val newLv = when(col("acc").isNull, col("lv"))
           .otherwise(zip_with(col("lv"), col("acc"),

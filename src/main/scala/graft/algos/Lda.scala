@@ -41,13 +41,12 @@ object Lda {
     (conv(substring(md5(concat(weight.cast("long").cast("string"), lit(":"), lit(i))), 1, 8),
       16, 10).cast("long").cast("double")) / lit(4294967296.0)
 
-  /** One ⊕ over exploded topic dims: (id, contrib array) → summed arrays. */
+  /** Elementwise ⊕ over the K topic dims: (id, contrib array) → summed
+    * arrays. One shuffle via the native `vector_sum` aggregate (partial
+    * primitive-array buffers, map-side combined) — the old
+    * posexplode→groupBy(key,k)→regroup shape shuffled K× the rows twice. */
   private def sumArrays(df: DataFrame, key: String): DataFrame = df
-    .select(col(key), posexplode(col("contrib")).as(Seq("k", "v")))
-    .groupBy(key, "k").agg(sum("v").as("v"))
-    .groupBy(key)
-    .agg(transform(array_sort(collect_list(struct(col("k"), col("v")))),
-      s => s.getField("v")).as("n"))
+    .groupBy(key).agg(graft.functions.VectorSum.vector_sum(col("contrib")).as("n"))
 
   /** The init superstep as its algebraic meaning: per-vertex sum of
     * gamma-normalized edge-count vectors over ALL incident edges. */
@@ -79,13 +78,10 @@ object Lda {
       when(col("id") <= ndoc, "d").otherwise("w").as("type"))
 
   def globalN(state: DataFrame): Array[Double] = {
-    val rows = state.filter(col("type") === "w")
-      .select(posexplode(col("n")).as(Seq("k", "v")))
-      .groupBy("k").agg(sum("v").as("v"))
-      .collect()
-    val out = new Array[Double](K)
-    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
-    out
+    val r = state.filter(col("type") === "w")
+      .agg(graft.functions.VectorSum.vector_sum(col("n"))).head()
+    if (r.isNullAt(0)) new Array[Double](K)
+    else r.getSeq[Double](0).toArray
   }
 
   def run(graph: LinkGraph, types: DataFrame, iterations: Int = 10,
