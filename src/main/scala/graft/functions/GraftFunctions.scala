@@ -25,6 +25,13 @@ object GraftFunctions {
         case Seq(c) => VectorSum(c)
         case _ => throw new IllegalArgumentException(
           s"vector_sum takes exactly 1 argument, got ${children.length}")
+      }),
+    (FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VectorDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"vector_dot takes exactly 2 arguments, got ${children.length}")
       }))
 
   /** Register every graft function into a running session's registry. */

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -19,10 +21,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Σ a_i·b_i over double-cast arrays (sequential left fold, reproducible). */
+  /** Σ a_i·b_i, double-cast, sequential left fold (reproducible). Native
+    * codegen'd expression — bit-identical to the old
+    * `aggregate(zip_with(...))` fold but without the CodegenFallback
+    * per-element interpretation or the intermediate product array. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorDot.vector_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -61,28 +65,39 @@ object Similarity {
   // engine (the DuckDB twin replays it) — a double-precision dot would flip
   // boundary signs between engines.
 
-  /** ±1 sign for (band, plane, dim) from one md5 hex digit parity. */
-  private def signOf(band: Int, p: Int, d: Column): Column = {
-    val digit = instr(lit("0123456789abcdef"),
-      substring(md5(concat_ws(":", lit(band), lit(p), d.cast("string"))), 1, 1)) - 1
-    when(digit % 2 === 0, 1L).otherwise(-1L)
+  /** ±1 sign for (band, plane, dim) — md5 hex-digit parity of "band:p:d",
+    * computed ONCE on the driver and folded in as literals. The column-
+    * expression version of this (md5 inside the zip_with lambda) re-hashed
+    * every (band, plane, dim) triple PER ROW — bands·planes·dim ≈ 2k md5
+    * calls per vector; the signs are row-independent, so that work belongs
+    * at plan-build time. Same digest formula, bit-identical buckets. */
+  private def signOf(band: Int, p: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$band:$p:$d".getBytes(StandardCharsets.UTF_8))
+    if ((((digest(0) >> 4) & 0xf) % 2) == 0) 1L else -1L
   }
 
-  /** One band's bucket id: `planes` sign bits of integer hyperplane sums. */
-  def bandBucket(vec: Column, band: Int, planes: Int): Column = {
+  /** One band's bucket id: `planes` sign bits of integer hyperplane sums.
+    * `dim` is the (uniform) embedding dimensionality — sign vectors are
+    * plan-time literal arrays. */
+  def bandBucket(vec: Column, band: Int, planes: Int, dim: Int): Column = {
     val q = transform(vec, x => round(x.cast("double") * 1000).cast("long"))
     (0 until planes).map { p =>
-      val s = aggregate(zip_with(q, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * signOf(band, p, i)), lit(0L), _ + _)
+      val signs = array((0 until dim).map(d => lit(signOf(band, p, d))): _*)
+      val s = aggregate(zip_with(q, signs, _ * _), lit(0L), _ + _)
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** (id, vec, band, bucket) — one row per band per vector. */
-  def bandedSignatures(vecs: DataFrame, bands: Int, planes: Int): DataFrame =
+  /** (id, vec, band, bucket) — one row per band per vector. Requires a
+    * uniform embedding dim (one-row probe; ragged inputs would bucket to 0). */
+  def bandedSignatures(vecs: DataFrame, bands: Int, planes: Int): DataFrame = {
+    val dim = vecs.select(size(col("vec")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     vecs.select(col("id"), col("vec"),
       posexplode(array((0 until bands).map(b =>
-        bandBucket(col("vec"), b, planes)): _*)).as(Seq("band", "bucket")))
+        bandBucket(col("vec"), b, planes, dim)): _*)).as(Seq("band", "bucket")))
+  }
 
   /** Candidate pairs (a<b) sharing any band bucket, with per-bucket size cap.
     * Capped buckets are excluded — pair with `bandedCoverage` (same knobs) to
@@ -165,12 +180,20 @@ object Similarity {
   // Scale shape: centroids broadcast (C ≪ |corpus|), assignment is one
   // narrow pass, and each query touches nProbe/C of the corpus.
 
+  /** 1e-3 quantization: `array<long>` of round(x·1000). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
   /** Σ round(a_i·1000)·round(b_i·1000) — exact integer dot (order-free,
     * engine-reproducible; values bounded by 64·(10³·|x|ₘₐₓ)² ≪ 2⁶³). */
-  def quantDot(a: Column, b: Column): Column = {
-    def q(v: Column) = transform(v, x => round(x.cast("double") * 1000).cast("long"))
-    aggregate(zip_with(q(a), q(b), _ * _), lit(0L), _ + _)
-  }
+  def quantDot(a: Column, b: Column): Column =
+    aggregate(zip_with(quantize(a), quantize(b), _ * _), lit(0L), _ + _)
+
+  /** Integer dot of two ALREADY-quantized vectors (quantize once per row,
+    * not once per compared pair — 16 centroids otherwise re-round each
+    * corpus vector 16×). */
+  def quantizedDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, _ * _), lit(0L), _ + _)
 
   /** The C corpus rows with the smallest md5(id) — a deterministic,
     * engine-replayable "random" centroid sample. */
@@ -182,9 +205,10 @@ object Similarity {
     * centroid (ties → lowest cid). One broadcast pass; no shuffle of the
     * corpus beyond the per-id window partials. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
+    val scored = corpus.withColumn("_qv", quantize(col("vec")))
+      .crossJoin(broadcast(centroids.withColumn("_qc", quantize(col("cvec")))))
       .select(col("id"), col("vec"), col("cid"),
-        quantDot(col("vec"), col("cvec")).as("s"))
+        quantizedDot(col("_qv"), col("_qc")).as("s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("s").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -198,9 +222,10 @@ object Similarity {
               c: Int = 16, nProbe: Int = 4): DataFrame = {
     val cent = ivfCentroids(corpus, c)
     val assigned = ivfAssign(corpus, cent)
-    val probes = queries.crossJoin(broadcast(cent))
+    val probes = queries.withColumn("_qv", quantize(col("vec")))
+      .crossJoin(broadcast(cent.withColumn("_qc", quantize(col("cvec")))))
       .select(col("id").as("query_id"), col("vec").as("qv"), col("cid"),
-        quantDot(col("vec"), col("cvec")).as("s"))
+        quantizedDot(col("_qv"), col("_qc")).as("s"))
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("s").desc, col("cid"))
     val probed = probes.withColumn("rk", row_number().over(pw))
