@@ -219,18 +219,24 @@ object Sgd {
       needsRecvState = true,
       send = fr => fr.select(col("id"), col("lv").as("msg")),
       gather = df => {
-        val est = aggregate(zip_with(col("msg"), col("v_lv"), _ * _), lit(0.0), _ + _)
+        // ⟨msg, v_lv⟩ and msg·err as native codegen'd vector ops —
+        // bit-identical to the zip_with/transform folds they replace
+        val est = graft.functions.VectorDot.vector_dot(col("msg"), col("v_lv"))
         val err = col("weight") - est
-        df.withColumn("contrib", transform(col("msg"), x => x * err))
+        df.withColumn("contrib",
+          graft.functions.VectorArith.vector_mul(col("msg"), err))
       },
       // ⊕ elementwise over the K dims: native vector_sum — one shuffle at
       // 1/K the rows vs the explode→regroup shape
       reduce = df => df.groupBy("_recv")
         .agg(graft.functions.VectorSum.vector_sum(col("contrib")).as("acc")),
       apply = (df, _) => {
+        // lv + step·(−λ·lv + acc), native ops, same IEEE order (± commute)
+        import graft.functions.VectorArith._
         val newLv = when(col("acc").isNull, col("lv"))
-          .otherwise(zip_with(col("lv"), col("acc"),
-            (l, a) => l + lit(step) * (lit(-lambda) * l + a)))
+          .otherwise(vector_add(col("lv"),
+            vector_mul(vector_add(vector_mul(col("lv"), lit(-lambda)),
+              col("acc")), lit(step))))
         val changed = col("acc").isNotNull &&
           exists(zip_with(newLv, col("lv"), (a, b) => abs(a - b)), _ > 1e-7)
         df.select(col("id"), lit(true).as("active"), newLv.as("lv"),
@@ -247,7 +253,7 @@ object Sgd {
   def rmse(graph: LinkGraph, state: DataFrame): Double = {
     val u = state.select(col("id").as("src"), col("lv").as("ulv"))
     val v = state.select(col("id").as("dst"), col("lv").as("vlv"))
-    val est = aggregate(zip_with(col("ulv"), col("vlv"), _ * _), lit(0.0), _ + _)
+    val est = graft.functions.VectorDot.vector_dot(col("ulv"), col("vlv"))
     val agg = graph.edges.join(u, "src").join(v, "dst")
       .select(pow(col("weight") - est, 2.0).as("se"))
       .agg(sum("se"), count("*")).head()

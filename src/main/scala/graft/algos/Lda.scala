@@ -64,7 +64,8 @@ object Lda {
     val gtab = e.select(col("weight")).distinct()
       .withColumn("gn", transform(gs, g => g / gsum))
     val contrib = both.join(broadcast(gtab), "weight")
-      .withColumn("contrib", transform(col("gn"), g => g * col("weight")))
+      .withColumn("contrib",
+        graft.functions.VectorArith.vector_mul(col("gn"), col("weight")))
     sumArrays(contrib, "id")
       .join(types, Seq("id"), "right_outer")
       .select(col("id"), lit(true).as("active"), col("type"),
@@ -101,14 +102,20 @@ object Lda {
         needsRecvState = true,
         send = fr => fr.select(col("id"), col("n").as("msg")),
         gather = df => {
+          // native vector algebra (one codegen'd loop per op) replacing the
+          // zip_with/transform lambdas — bit-identical operation order:
+          // ((x+my)−1)·((x+oth)−1) / g, then (γ/Σγ)·weight
+          import graft.functions.VectorArith._
+          import graft.functions.VectorLSum.vector_lsum
           val my = when(col("v_type") === "d", alpha).otherwise(eta)
           val oth = when(col("v_type") === "d", eta).otherwise(alpha)
-          val numer = zip_with(
-            transform(col("v_n"), x => x + my - 1.0),
-            transform(col("msg"), x => x + oth - 1.0), _ * _)
-          val gammas = zip_with(numer, gLit, _ / _)
-          val gsum = aggregate(gammas, lit(0.0), _ + _)
-          df.withColumn("contrib", transform(gammas, g => g / gsum * col("weight")))
+          val numer = vector_mul(
+            vector_sub(vector_add(col("v_n"), my), lit(1.0)),
+            vector_sub(vector_add(col("msg"), oth), lit(1.0)))
+          val gammas = vector_div(numer, gLit)
+          val gsum = vector_lsum(gammas)
+          df.withColumn("contrib",
+            vector_mul(vector_div(gammas, gsum), col("weight")))
         },
         reduce = df => sumArrays(df, "_recv").withColumnRenamed("n", "acc"),
         apply = (df, _) => df.select(
@@ -141,12 +148,14 @@ object Lda {
             else state.filter(col("type") === "w").count()
     val gN = globalN(state)
     val nkS = array(gN.map(x => lit(x + v * (eta - 1.0))): _*)
+    import graft.functions.VectorArith._
+    import graft.functions.VectorLSum.vector_lsum
     val d = state.select(col("id").as("src"), col("n").as("dn"))
     val w = state.select(col("id").as("dst"), col("n").as("wn"))
-    val thetaRaw = transform(col("dn"), x => x + (eta - 1.0))
-    val thetaSum = aggregate(thetaRaw, lit(0.0), _ + _)
-    val phi = zip_with(col("wn"), nkS, (x, g) => (x + (eta - 1.0)) / g)
-    val dot = aggregate(zip_with(phi, thetaRaw, _ * _), lit(0.0), _ + _) / thetaSum
+    val thetaRaw = vector_add(col("dn"), lit(eta - 1.0))
+    val thetaSum = vector_lsum(thetaRaw)
+    val phi = vector_div(vector_add(col("wn"), lit(eta - 1.0)), nkS)
+    val dot = graft.functions.VectorDot.vector_dot(phi, thetaRaw) / thetaSum
     graph.edges.join(d, "src").join(w, "dst")
       .withColumn("c", col("weight") * log(dot))
       .groupBy(col("dst").as("id")).agg(sum("c").as("token_loglik"))

@@ -32,7 +32,22 @@ object GraftFunctions {
         case Seq(a, b) => VectorDot(a, b)
         case _ => throw new IllegalArgumentException(
           s"vector_dot takes exactly 2 arguments, got ${children.length}")
-      }))
+      }),
+    (FunctionIdentifier("vector_lsum"),
+      new ExpressionInfo(classOf[VectorLSum].getName, "vector_lsum"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => VectorLSum(c)
+        case _ => throw new IllegalArgumentException(
+          s"vector_lsum takes exactly 1 argument, got ${children.length}")
+      })) ++ VectorArith.ops.toSeq.sorted.map { op =>
+    (FunctionIdentifier(s"vector_$op"),
+      new ExpressionInfo(classOf[VectorArith].getName, s"vector_$op"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VectorArith(a, b, op)
+        case _ => throw new IllegalArgumentException(
+          s"vector_$op takes exactly 2 arguments, got ${children.length}")
+      })
+  }
 
   /** Register every graft function into a running session's registry. */
   def register(spark: SparkSession): Unit =
