@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.{Partitioner, TaskContext}
+import org.apache.spark.{Partitioner, SparkContext, TaskContext}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -46,6 +46,22 @@ import graft.core.LinkGraph
  * verified against the Column-algebra engine (allclose 1e-9) in
  * GatherScatterSpec.
  */
+
+/** Durable mid-algorithm checkpoint/resume for the CSR engine (north rule:
+  * "each superstep checkpoints per-partition frontier state plus lineage and
+  * iteration metrics ... so runs resume mid-algorithm" — the throughput-path
+  * twin of the Column engine's [[CheckpointConfig]]). Every `every`
+  * supersteps the full per-partition vertex state is committed under
+  * `dir/runId/` together with per-partition lineage (`partitions.json`) and
+  * per-superstep metrics (`metrics.jsonl`); `latest.json` is the commit
+  * pointer, written last. Pass to `pageRankConverged` / `minFixpoint` /
+  * `connectedComponents` / `bfs` / `sssp`: if a committed checkpoint already
+  * exists under `dir/runId`, the run RESUMES from it instead of restarting.
+  * All paths go through the Hadoop FileSystem of `dir` (local, hdfs://,
+  * s3a://). In production these are Iceberg snapshot commits;
+  * object-files-with-a-pointer is the sandbox stand-in (no Iceberg jars). */
+final case class CsrCheckpoint(dir: String, runId: String, every: Int = 8)
+
 object GatherScatter {
 
   /**
@@ -726,6 +742,119 @@ object GatherScatter {
       weighted = wtd)
   }
 
+  // ---- durable mid-algorithm checkpoint/resume ---------------------------
+  //
+  // See [[CsrCheckpoint]]. State is saved WITH its per-partition id layout
+  // (one (partition, RankBlock) object file per partition), so resume can
+  // VERIFY alignment against the live graph instead of trusting that the
+  // caller rebuilt it identically — build() sorts every per-partition array
+  // precisely so that a rebuild with the same numPartitions/keyShift/
+  // hotDegree reproduces the layout deterministically (see sortWithPerm).
+
+  private def fsOf(sc: SparkContext, path: String) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    (hp, hp.getFileSystem(sc.hadoopConfiguration))
+  }
+
+  private def fsWriteText(sc: SparkContext, path: String, text: String): Unit = {
+    val (hp, fs) = fsOf(sc, path)
+    val out = fs.create(hp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def fsReadText(sc: SparkContext, path: String): Option[String] = {
+    val (hp, fs) = fsOf(sc, path)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private val metricLineRe =
+    """\{"iteration":(\d+),"changed":(-?\d+),"millis":(\d+)\}""".r
+
+  private def writeCheckpoint(g: PrGraph, cp: CsrCheckpoint, iter: Int,
+      converged: Boolean, state: RDD[Array[Double]],
+      metrics: Seq[IterationMetrics]): Unit = {
+    val sc = g.csr.sparkContext
+    val root = s"${cp.dir}/${cp.runId}"
+    val statePath = s"$root/iter=$iter/state"
+    val (sp, fs) = fsOf(sc, statePath)
+    if (fs.exists(sp)) fs.delete(sp, true) // half-written state from a crash
+    state.zipPartitions(g.verts, preservesPartitioning = true) { (rIt, vIt) =>
+      val vm = vIt.next()
+      Iterator.single((TaskContext.getPartitionId(), RankBlock(vm.ids, rIt.next())))
+    }.saveAsObjectFile(statePath)
+    // per-partition lineage: the static layout a resumed run must reproduce
+    // (vertex/receiver/edge counts per partition) — written once per run
+    val (pj, _) = fsOf(sc, s"$root/partitions.json")
+    if (!fs.exists(pj)) {
+      val rows = g.csr.zipPartitions(g.verts, preservesPartitioning = true) { (cIt, vIt) =>
+        val blk = cIt.next(); val vm = vIt.next()
+        var e = blk.hotEdgeSrcIdx.length
+        var tp = 0
+        while (tp < blk.edgeSrcIdx.length) {
+          if (blk.edgeSrcIdx(tp) != null) e += blk.edgeSrcIdx(tp).length
+          tp += 1
+        }
+        Iterator.single((TaskContext.getPartitionId(), vm.ids.length, vm.nRecv, e))
+      }.collect().sortBy(_._1)
+      fsWriteText(sc, s"$root/partitions.json", rows.map { case (p, v, r, e) =>
+        s"""{"partition":$p,"vertices":$v,"receivers":$r,"edges":$e}"""
+      }.mkString("[", ",", "]"))
+    }
+    fsWriteText(sc, s"$root/metrics.jsonl", metrics.map(m =>
+      s"""{"iteration":${m.iteration},"changed":${m.changed},"millis":${m.millis}}""")
+      .mkString("", "\n", "\n"))
+    // the pointer commits the checkpoint — written LAST, so a crash during
+    // any earlier write leaves the previous committed state resumable
+    fsWriteText(sc, s"$root/latest.json",
+      s"""{"iteration":$iter,"converged":$converged,"partitions":${g.numPartitions}}""")
+  }
+
+  /** None when no committed checkpoint exists; else (state aligned to this
+    * graph's layout, iteration, converged, prior metrics). */
+  private def readCheckpoint(g: PrGraph, cp: CsrCheckpoint)
+      : Option[(RDD[Array[Double]], Int, Boolean, Vector[IterationMetrics])] = {
+    val sc = g.csr.sparkContext
+    val root = s"${cp.dir}/${cp.runId}"
+    fsReadText(sc, s"$root/latest.json").map { txt =>
+      val iter = """"iteration"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(txt).get.group(1).toInt
+      val converged = txt.contains(""""converged":true""")
+      // driver-side pre-check: a partition-count mismatch must fail with a
+      // clear message, not an out-of-range shuffle key deep in a task
+      """"partitions"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).foreach { m =>
+        require(m.group(1).toInt == g.numPartitions,
+          s"checkpoint ${cp.runId}/iter=$iter does not align with this " +
+          s"graph: saved with ${m.group(1)} partitions, graph has " +
+          s"${g.numPartitions} (resume needs the same build parameters)")
+      }
+      val idPart = new IdPartitioner(g.numPartitions)
+      val state = sc.objectFile[(Int, RankBlock)](s"$root/iter=$iter/state")
+        .partitionBy(idPart)
+        .zipPartitions(g.verts, preservesPartitioning = true) { (lIt, vIt) =>
+          val rb = lIt.next()._2; val vm = vIt.next()
+          require(java.util.Arrays.equals(rb.ids, vm.ids),
+            s"checkpoint ${cp.runId}/iter=$iter does not align with this " +
+            "graph: resume needs the same edge set built with the same " +
+            "numPartitions/keyShift/hotDegree (layouts are deterministic; " +
+            "see build())")
+          Iterator.single(rb.pr)
+        }
+      val metrics = fsReadText(sc, s"$root/metrics.jsonl").map {
+        _.linesIterator.collect {
+          case metricLineRe(i, c, m) if i.toInt <= iter =>
+            IterationMetrics(i.toInt, c.toLong, m.toLong)
+        }.toVector
+      }.getOrElse(Vector.empty)
+      (state, iter, converged, metrics)
+    }
+  }
+
   /** Dense rank vectors, one Array[Double] per partition, aligned to VertexMeta.ids. */
   private def initRanks(g: PrGraph): RDD[Array[Double]] =
     g.verts.mapPartitions(it => Iterator.single(Array.fill(it.next().ids.length)(0.3)),
@@ -1006,17 +1135,29 @@ object GatherScatter {
    * PageRank until convergence, GraphMat stop rule: terminate when no vertex
    * moved by more than `tol` (`PR::operator!=`, `src/PageRank.cpp:43-45`;
    * land-reduce `GraphMatRuntime.h:208-226` — here a Spark accumulator).
-   * Returns (final ranks, supersteps run).
+   * Returns (final ranks, supersteps run). With `cp` set, the state is
+   * durably checkpointed every `cp.every` supersteps (and at termination),
+   * and a run finding a committed checkpoint under `cp.dir/cp.runId` RESUMES
+   * from it — the returned superstep count is then the GLOBAL count
+   * including pre-crash supersteps, and a resumed-after-interrupt run
+   * produces bit-identical ranks to an uninterrupted one (the state is the
+   * exact doubles; supersteps are deterministic).
    */
   def pageRankConverged(g: PrGraph, alpha: Double = 0.3, tol: Double = 1e-5,
-                        maxIterations: Int = 200): (RDD[RankBlock], Int) = {
+                        maxIterations: Int = 200,
+                        cp: Option[CsrCheckpoint] = None): (RDD[RankBlock], Int) = {
     val sc = g.csr.sparkContext
-    var ranks = initRanks(g).persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
-    var prev = ranks
     var it = 0
     var converged = false
+    var metrics = Vector.empty[IterationMetrics]
+    var ranks = (cp.flatMap(readCheckpoint(g, _)) match {
+      case Some((r, i, conv, m)) => it = i; converged = conv; metrics = m; r
+      case None => initRanks(g)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    var prev = ranks
     while (!converged && it < maxIterations) {
+      val t0 = System.nanoTime()
       val changedAcc = sc.longAccumulator(s"changed-$it")
       val hotPr = if (g.hotIds.isEmpty) null
                   else sc.broadcast(hotMirror(g, ranks))
@@ -1030,6 +1171,12 @@ object GatherScatter {
       ranks = newRanks
       it += 1
       converged = changedAcc.value == 0L
+      cp.foreach { c =>
+        metrics :+= IterationMetrics(it, changedAcc.value,
+          (System.nanoTime() - t0) / 1000000)
+        if (it % c.every == 0 || converged || it >= maxIterations)
+          writeCheckpoint(g, c, it, converged, ranks, metrics)
+      }
     }
     val out = materialize(g, ranks)
     ranks.unpersist(blocking = false)
@@ -1161,27 +1308,39 @@ object GatherScatter {
 
   /** Run the (min, +) propagation from `init` to its exact fixpoint.
     * Returns (value blocks, supersteps run). Vertices never reached keep
-    * their init value (+∞ for single-source inits). */
+    * their init value (+∞ for single-source inits). With `cp`, state is
+    * durably checkpointed and a committed checkpoint is RESUMED (see
+    * [[CsrCheckpoint]]); only VALUES are saved — resume re-activates every
+    * partition, which is sound because min is monotone and idempotent
+    * (re-sent contributions fold to the values already held), so a resumed
+    * run reaches the identical fixpoint with identical changed counts, at
+    * the cost of one dense gather on its first superstep. */
   def minFixpoint(g: PrGraph, init: RDD[Array[Double]], delta: Double,
                   maxIterations: Int = 1 << 20,
-                  useWeights: Boolean = false): (RDD[RankBlock], Int) = {
+                  useWeights: Boolean = false,
+                  cp: Option[CsrCheckpoint] = None): (RDD[RankBlock], Int) = {
     require(!useWeights || g.weighted,
       "weighted (min,+) needs build(..., weighted = true)")
     val sc = g.csr.sparkContext
-    // superstep 0 marks every partition active (correct for any init);
-    // thereafter a partition stays active only while its vertices change
-    var vals = init
-      .mapPartitions(it => it.map(a => (a, true)), preservesPartitioning = true)
+    var it = 0
+    var converged = false
+    var metrics = Vector.empty[IterationMetrics]
+    // superstep 0 marks every partition active (correct for any init, and —
+    // see scaladoc — for any RESUMED state); thereafter a partition stays
+    // active only while its vertices change
+    var vals = (cp.flatMap(readCheckpoint(g, _)) match {
+      case Some((r, i, conv, m)) => it = i; converged = conv; metrics = m; r
+      case None => init
+    }).mapPartitions(x => x.map(a => (a, true)), preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     vals.count()
     var prev = vals
-    var it = 0
-    var converged = false
     // the hub MIRROR's own frontier: hot shard edges fire only on supersteps
     // where some hot vertex's value actually moved (compared driver-side —
     // the mirror is tiny by construction)
     var prevHot: Array[Double] = null
     while (!converged && it < maxIterations) {
+      val t0 = System.nanoTime()
       val changedAcc = sc.longAccumulator(s"min-changed-$it")
       var hotActive = false
       val hotV = if (g.hotIds.isEmpty) null
@@ -1204,6 +1363,14 @@ object GatherScatter {
       vals = newVals
       it += 1
       converged = changedAcc.value == 0L
+      cp.foreach { c =>
+        metrics :+= IterationMetrics(it, changedAcc.value,
+          (System.nanoTime() - t0) / 1000000)
+        if (it % c.every == 0 || converged || it >= maxIterations)
+          writeCheckpoint(g, c, it, converged,
+            vals.mapPartitions(x => x.map(_._1), preservesPartitioning = true),
+            metrics)
+      }
     }
     val out = materialize(g, vals.mapPartitions(
       it => it.map(_._1), preservesPartitioning = true))
@@ -1216,7 +1383,8 @@ object GatherScatter {
     * the graph's edges. For the reference's WEAK components semantics
     * (`src/ConnectedComponents.cpp`; undirected ⊕=min), build the PrGraph on
     * a bidirectional edge set (e.g. `LinkGraph.undirected`). */
-  def connectedComponents(g: PrGraph, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+  def connectedComponents(g: PrGraph, maxIterations: Int = 1 << 20,
+                          cp: Option[CsrCheckpoint] = None): (RDD[RankBlock], Int) = {
     val init = g.verts.mapPartitions({ it =>
       val vm = it.next()
       val a = new Array[Double](vm.ids.length)
@@ -1228,13 +1396,15 @@ object GatherScatter {
       }
       Iterator.single(a)
     }, preservesPartitioning = true)
-    minFixpoint(g, init, delta = 0.0, maxIterations)
+    minFixpoint(g, init, delta = 0.0, maxIterations, cp = cp)
   }
 
   /** BFS levels from `source` on the (min, +) kernel (delta = 1 along
     * out-edges). Unreached vertices keep +∞ (the column engine's -1 analog). */
-  def bfs(g: PrGraph, source: Long, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
-    minFixpoint(g, singleSourceInit(g, source), delta = 1.0, maxIterations)
+  def bfs(g: PrGraph, source: Long, maxIterations: Int = 1 << 20,
+          cp: Option[CsrCheckpoint] = None): (RDD[RankBlock], Int) = {
+    minFixpoint(g, singleSourceInit(g, source), delta = 1.0, maxIterations,
+      cp = cp)
   }
 
   /** Single-source shortest paths on the weighted (min, +) kernel: the
@@ -1242,9 +1412,10 @@ object GatherScatter {
     * along out-edges (reference `src/SSSP.cpp`; requires nonnegative weights
     * for the fixpoint to be the true distances). Needs
     * `build(..., weighted = true)`; unreached vertices keep +∞. */
-  def sssp(g: PrGraph, source: Long, maxIterations: Int = 1 << 20): (RDD[RankBlock], Int) = {
+  def sssp(g: PrGraph, source: Long, maxIterations: Int = 1 << 20,
+           cp: Option[CsrCheckpoint] = None): (RDD[RankBlock], Int) = {
     minFixpoint(g, singleSourceInit(g, source), delta = 0.0, maxIterations,
-      useWeights = true)
+      useWeights = true, cp = cp)
   }
 
   private def singleSourceInit(g: PrGraph, source: Long): RDD[Array[Double]] =
