@@ -160,6 +160,29 @@ object Bench {
     (Leg(g.numEdges, iters, walls, steal), iters)
   }
 
+  /** (mode) kernel throughput: community label propagation on the
+    * undirected headline graph — the kernel's third ⊕ on the same routed
+    * CSR blocks; the exchange ships RLE'd label histograms instead of
+    * packed sums. Fixed budget with early fixpoint stop; supersteps come
+    * from the run itself so eps is per-superstep like the other legs. */
+  private def lpBench(spark: SparkSession, edgePath: String, iters: Int,
+                      reps: Int, numPartitions: Int = 32): (Leg, Int) = {
+    val graph = LinkGraph(spark.read.parquet(edgePath))
+    val und = graph.undirected
+    val g = GatherScatter.build(und, numPartitions = numPartitions)
+    GatherScatter.labelPropagation(g, 2)._1.unpersist(false)
+    var run = 0
+    val (walls, steal) = timedReps(reps) { () =>
+      val (labels, it) = GatherScatter.labelPropagation(g, iters)
+      labels.unpersist(false)
+      run = it
+    }
+    g.unpersist()
+    und.unpersistAll()
+    graph.unpersistAll()
+    (Leg(g.numEdges, run, walls, steal), run)
+  }
+
   /** One local-cluster leg: fresh executor JVMs, LOAD the prebuilt CSR
     * snapshot (GatherScatter.save/load — the reference's ReadGraphMatBin
     * analog; legs time supersteps, not ingest), fastBench loop, teardown. */
@@ -349,6 +372,7 @@ object Bench {
     val head = fastBench(s4N, edgePath, iters = 10, warmIters = 2, reps = 3)
     val sql = sqlBench(s4N, edgePath, iters = 5, warmIters = 2, reps = 3)
     val (ccLeg, ccIters) = ccBench(s4N, edgePath, reps = 2)
+    val (lpLeg, lpIters) = lpBench(s4N, edgePath, iters = 5, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -357,6 +381,16 @@ object Bench {
     val (convRanks, convIters) = GatherScatter.pageRankConverged(gConv, 0.3, 1e-5)
     val convSec = (System.nanoTime() - tConv) / 1e9
     convRanks.unpersist(false)
+    // durability tax: the SAME until-convergence run, now committing a
+    // durable per-superstep checkpoint (CsrCheckpoint every=1 — the north
+    // rule's "each superstep checkpoints ... frontier state plus lineage and
+    // iteration metrics" rendered literally). Reported as a ratio against
+    // the uncheckpointed run above.
+    val tCp = System.nanoTime()
+    val (cpRanks, _) = GatherScatter.pageRankConverged(gConv, 0.3, 1e-5,
+      cp = Some(graft.engine.CsrCheckpoint(s"$tmp/cp", "bench-conv", every = 1)))
+    val convCpSec = (System.nanoTime() - tCp) / 1e9
+    cpRanks.unpersist(false)
     gConv.unpersist()
     gcGraph.unpersistAll()
     sweepCaches(s4N)
@@ -396,9 +430,10 @@ object Bench {
       sb ++= f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":${jstr(sfDir)},"cores":$cpus,"""
       sb ++= f""""queries":${results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")},"""
       sb ++= s""""query_errors":$qErrs,"caches_swept":$swept,"cache_leaks_after_sweep":$leaks,"""
-      sb ++= f""""pagerank":{"path":"gather-scatter","leg":${legJson(head)},"edges_per_sec":${head.eps(head.best)}%.0f,"convergence":{"tol":1e-5,"iterations":$convIters,"sec":$convSec%.3f}},"""
+      sb ++= f""""pagerank":{"path":"gather-scatter","leg":${legJson(head)},"edges_per_sec":${head.eps(head.best)}%.0f,"convergence":{"tol":1e-5,"iterations":$convIters,"sec":$convSec%.3f,"sec_with_per_superstep_durable_checkpoint":$convCpSec%.3f,"durability_tax":${convCpSec / convSec}%.2f}},"""
       sb ++= f""""pagerank_sql":{"path":"column-engine","leg":${legJson(sql)},"edges_per_sec":${sql.eps(sql.best)}%.0f},"""
       sb ++= f""""cc_minplus":{"path":"gather-scatter (min,+)","leg":${legJson(ccLeg)},"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps_to_fixpoint":$ccIters,"note":"HashMin connected components to the exact changed==0 fixpoint on the undirected headline graph - the kernel's second semiring on the same routed CSR blocks and split exchange"},"""
+      sb ++= f""""lp_mode":{"path":"gather-scatter (mode)","leg":${legJson(lpLeg)},"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters,"note":"community label propagation, 5-superstep budget on the undirected headline graph - the kernel's third (non-semiring) pass: the exchange ships RLE label histograms with per-source-partition pre-aggregation instead of packed sums"},"""
       sb ++= pairJson("local-cluster", "1x1", "4x1", c1, c4, effC, effCMed,
         "1 vs 4 single-core executor JVMs (pre-touched heaps), scale graph, 64 cache-blocked conversation-colocated partitions (keyShift=20), interleaved rounds, snapshot load; total cores stay under the DRAM knee (see scaling_8_32) so the pair isolates executor scaling from host bandwidth - BASELINE.md Scaling").patch(0, "\"scaling\":", 0)
       sb ++= ","
@@ -428,9 +463,10 @@ object Bench {
       f"""{"sec_small":${lS.best}%.2f,"sec_large":${lL.best}%.2f,"eff":$eff%.3f,"eps_large":${lL.eps(lL.best)}%.0f}"""
     var line =
       f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":${jstr(sfDir)},"full":"bench_full.json",""" +
-      f""""pagerank":{"edges":${head.edges},"supersteps":${head.iters},"sec":${head.best}%.2f,"edges_per_sec":${head.eps(head.best)}%.0f,"conv_iters":$convIters,"conv_sec":$convSec%.1f},""" +
+      f""""pagerank":{"edges":${head.edges},"supersteps":${head.iters},"sec":${head.best}%.2f,"edges_per_sec":${head.eps(head.best)}%.0f,"conv_iters":$convIters,"conv_sec":$convSec%.1f,"conv_cp_sec":$convCpSec%.1f},""" +
       f""""pagerank_sql":{"sec":${sql.best}%.2f,"edges_per_sec":${sql.eps(sql.best)}%.0f},""" +
       f""""cc_minplus":{"sec":${ccLeg.best}%.2f,"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps":$ccIters},""" +
+      f""""lp_mode":{"sec":${lpLeg.best}%.2f,"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters},""" +
       s""""scaling":${cPair(c1, c4, effC)},""" +
       s""""scaling_fixed_cores":${cPair(f2, f8, effF)},""" +
       s""""scaling_threads":${cPair(t1, t4, effT)},""" +

@@ -1418,6 +1418,262 @@ object GatherScatter {
       useWeights = true, cp = cp)
   }
 
+  // ---- the (mode, ·) label-propagation pass on the same static exchange --
+  //
+  // North-rule community label propagation (`algos/Algorithms.scala`
+  // LabelPropagation is the semantics reference): every superstep each
+  // vertex adopts the most frequent label among its neighbors, ties to the
+  // SMALLER label, keeping its label when it has no neighbors; run for a
+  // caller-fixed iteration budget (LP can oscillate) with early stop at the
+  // exact no-label-moved fixpoint. The ⊕ (mode-of-labels) is not a one-slot
+  // commutative fold, so the exchange record generalizes from one packed
+  // Double per unique dst to a packed label HISTOGRAM per unique dst:
+  // (dst slot, label, count) triples, run-length-encoded after a counting
+  // sort by slot. Pre-aggregation still bounds hub fan-in structurally: a
+  // receiver folds at most (n partitions × its distinct incoming labels)
+  // partials, never one record per edge. Unlike the (min,+) path every
+  // superstep is dense — mode is recomputed from ALL neighbor messages, so
+  // there is no idempotent fold to skip quiet partitions with (the column
+  // engine is ALL_VERTICES here too). Labels ride as exact-integer Doubles
+  // (ids < 2^53, enforced at init).
+
+  /** In-place quicksort of `lab[from,to)` ascending, carrying `cnt` along.
+    * Insertion sort below 24 elements; receivers' per-vertex label segments
+    * are usually tiny, hubs get the O(k log k) path. */
+  private def sortPaired(lab: Array[Double], cnt: Array[Int],
+                         from: Int, to: Int): Unit = {
+    if (to - from < 2) return
+    if (to - from <= 24) {
+      var i = from + 1
+      while (i < to) {
+        val l = lab(i); val c = cnt(i)
+        var j = i - 1
+        while (j >= from && lab(j) > l) {
+          lab(j + 1) = lab(j); cnt(j + 1) = cnt(j); j -= 1
+        }
+        lab(j + 1) = l; cnt(j + 1) = c
+        i += 1
+      }
+      return
+    }
+    val pivot = lab(from + (to - from) / 2)
+    var i = from; var j = to - 1
+    while (i <= j) {
+      while (lab(i) < pivot) i += 1
+      while (lab(j) > pivot) j -= 1
+      if (i <= j) {
+        val tl = lab(i); lab(i) = lab(j); lab(j) = tl
+        val tc = cnt(i); cnt(i) = cnt(j); cnt(j) = tc
+        i += 1; j -= 1
+      }
+    }
+    sortPaired(lab, cnt, from, j + 1)
+    sortPaired(lab, cnt, i, to)
+  }
+
+  /** LP gather: per target partition, this partition's partial label
+    * histogram — parallel arrays (dst slot, label, count), slot-ascending,
+    * labels RLE'd within a slot. Hot-shard edges contribute the broadcast
+    * mirror's labels into this partition's own bucket, exactly like the
+    * PageRank gather. */
+  private def gatherLabelPhase(labels: RDD[Array[Double]], g: PrGraph,
+      hotL: Broadcast[Array[Double]])
+      : RDD[(Int, (Int, (Array[Int], Array[Double], Array[Int])))] =
+    labels.zipPartitions(g.csr, g.verts, preservesPartitioning = false) { (rIt, cIt, vIt) =>
+      val lab = rIt.next(); val blk = cIt.next(); val vm = vIt.next()
+      val p = TaskContext.getPartitionId()
+      val nS = blk.srcs.length
+      val srcLab = new Array[Double](nS)
+      var i0 = 0
+      while (i0 < nS) { srcLab(i0) = lab(vm.srcPrIdx(i0)); i0 += 1 }
+      Iterator.range(0, blk.outIds.length).flatMap { tp =>
+        val ids = blk.outIds(tp)
+        val nHot = if (tp == p) blk.hotEdgeSrcIdx.length else 0
+        if (ids == null) Iterator.empty
+        else {
+          val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
+          val m = es.length + nHot
+          if (m == 0) Iterator.empty
+          else {
+            val nSlots = ids.length
+            // counting sort of the edge labels by dst slot
+            val off = new Array[Int](nSlots + 1)
+            var e = 0
+            while (e < es.length) { off(eo(e) + 1) += 1; e += 1 }
+            if (nHot > 0) {
+              val ho = blk.hotEdgeOutIdx
+              e = 0
+              while (e < ho.length) { off(ho(e) + 1) += 1; e += 1 }
+            }
+            var i = 1
+            while (i <= nSlots) { off(i) += off(i - 1); i += 1 }
+            val fill = java.util.Arrays.copyOf(off, nSlots)
+            val labAt = new Array[Double](m)
+            e = 0
+            while (e < es.length) {
+              val slot = eo(e); labAt(fill(slot)) = srcLab(es(e)); fill(slot) += 1
+              e += 1
+            }
+            if (nHot > 0) {
+              val hl = hotL.value; val hs = blk.hotEdgeSrcIdx; val ho = blk.hotEdgeOutIdx
+              e = 0
+              while (e < hs.length) {
+                val slot = ho(e); labAt(fill(slot)) = hl(blk.hotLocal(hs(e))); fill(slot) += 1
+                e += 1
+              }
+            }
+            // RLE per slot after an in-slot sort
+            val pc = new IntPairBuf // (slot, count)
+            val lv = new DblBuf     // label per run
+            var slot = 0
+            while (slot < nSlots) {
+              val a = off(slot); val b = off(slot + 1)
+              if (b > a) {
+                java.util.Arrays.sort(labAt, a, b)
+                var j = a
+                while (j < b) {
+                  var k = j + 1
+                  while (k < b && labAt(k) == labAt(j)) k += 1
+                  pc.add(slot, k - j); lv.add(labAt(j))
+                  j = k
+                }
+              }
+              slot += 1
+            }
+            Iterator.single((tp, (p, (pc.trimA, lv.trim, pc.trimB))))
+          }
+        }
+      }
+    }
+
+  private def labelStep(g: PrGraph, labels: RDD[Array[Double]],
+      changedAcc: org.apache.spark.util.LongAccumulator,
+      hotL: Broadcast[Array[Double]]): (RDD[Array[Double]], RDD[_]) = {
+    val idPart = new IdPartitioner(g.numPartitions)
+    val gathered = gatherLabelPhase(labels, g, hotL)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val remote = gathered.mapPartitionsWithIndex(
+        (p, it) => it.filter(_._1 != p), preservesPartitioning = false)
+      .partitionBy(idPart)
+    val next = remote.zipPartitions(gathered, g.meta, labels, preservesPartitioning = true) {
+      (rIt, lIt, mIt, oIt) =>
+        val (vm, inIdx) = mIt.next(); val old = oIt.next()
+        val p = TaskContext.getPartitionId()
+        // collect (recvIdx, label, count) from every source partition
+        val rc = new IntPairBuf // (recvIdx, count)
+        val lb = new DblBuf
+        @inline def fold(q: Int, t: (Array[Int], Array[Double], Array[Int])): Unit = {
+          val idx = inIdx(q); val pos = t._1; val labv = t._2; val c = t._3
+          var i = 0
+          while (i < pos.length) { rc.add(idx(pos(i)), c(i)); lb.add(labv(i)); i += 1 }
+        }
+        lIt.foreach { case (tp, (q, t)) => if (tp == p) fold(q, t) }
+        rIt.foreach { case (_, (q, t)) => fold(q, t) }
+        val m = rc.m
+        val recv = rc.trimA; val cnts = rc.trimB; val labv = lb.trim
+        // counting sort by receiver, then per-receiver label merge + mode
+        val nR = vm.nRecv
+        val off = new Array[Int](nR + 1)
+        var i = 0
+        while (i < m) { off(recv(i) + 1) += 1; i += 1 }
+        i = 1
+        while (i <= nR) { off(i) += off(i - 1); i += 1 }
+        val fill = java.util.Arrays.copyOf(off, nR)
+        val sl = new Array[Double](m); val sc = new Array[Int](m)
+        i = 0
+        while (i < m) {
+          val r = recv(i); sl(fill(r)) = labv(i); sc(fill(r)) = cnts(i); fill(r) += 1
+          i += 1
+        }
+        val nV = vm.ids.length
+        val out = new Array[Double](nV)
+        var changed = 0L
+        var r = 0
+        while (r < nR) {
+          val a = off(r); val b = off(r + 1)
+          if (b == a) out(r) = old(r) // no neighbor messages: keep label
+          else {
+            sortPaired(sl, sc, a, b)
+            var bestLab = 0.0; var bestCnt = 0
+            var j = a
+            while (j < b) {
+              var k = j + 1
+              var tot = sc(j)
+              while (k < b && sl(k) == sl(j)) { tot += sc(k); k += 1 }
+              // strict > with label-ascending scan = highest count, then
+              // smallest label — the column engine's max_by(cnt, -label)
+              if (tot > bestCnt) { bestCnt = tot; bestLab = sl(j) }
+              j = k
+            }
+            out(r) = bestLab
+            if (bestLab != old(r)) changed += 1
+          }
+          r += 1
+        }
+        while (r < nV) { out(r) = old(r); r += 1 } // in-degree-0: keep label
+        changedAcc.add(changed)
+        Iterator.single(out)
+    }
+    (next, gathered)
+  }
+
+  /** Community label propagation on the CSR exchange (semantics: column
+    * engine's `LabelPropagation` — synchronous, mode-of-neighbor-labels,
+    * smaller label on ties, fixed `iterations` budget with early stop at
+    * the no-label-moved fixpoint). Build the PrGraph on a bidirectional edge
+    * set (e.g. `LinkGraph.undirected`) for the undirected-community reading;
+    * message counts are per EDGE, like the column engine. Returns
+    * (label blocks, supersteps run); resumable via `cp` (labels are exact
+    * state and every superstep is dense, so a resumed run is identical). */
+  def labelPropagation(g: PrGraph, iterations: Int,
+                       cp: Option[CsrCheckpoint] = None): (RDD[RankBlock], Int) = {
+    val sc = g.csr.sparkContext
+    var it = 0
+    var converged = false
+    var metrics = Vector.empty[IterationMetrics]
+    var labels = (cp.flatMap(readCheckpoint(g, _)) match {
+      case Some((r, i, conv, m)) => it = i; converged = conv; metrics = m; r
+      case None => g.verts.mapPartitions({ vIt =>
+        val vm = vIt.next()
+        val a = new Array[Double](vm.ids.length)
+        var i = 0
+        while (i < a.length) {
+          require(vm.ids(i) < (1L << 53), s"vertex id ${vm.ids(i)} not exact in a Double label")
+          a(i) = vm.ids(i).toDouble
+          i += 1
+        }
+        Iterator.single(a)
+      }, preservesPartitioning = true)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var prev = labels
+    while (!converged && it < iterations) {
+      val t0 = System.nanoTime()
+      val changedAcc = sc.longAccumulator(s"lp-changed-$it")
+      val hotL = if (g.hotIds.isEmpty) null else sc.broadcast(hotMirror(g, labels))
+      val (nl, gth) = labelStep(g, labels, changedAcc, hotL)
+      val newLabels = nl.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((it + 1) % 16 == 0) newLabels.localCheckpoint()
+      newLabels.count()
+      gth.unpersist(blocking = false)
+      if (hotL != null) hotL.unpersist(blocking = false)
+      prev.unpersist(blocking = false)
+      prev = newLabels
+      labels = newLabels
+      it += 1
+      converged = changedAcc.value == 0L
+      cp.foreach { c =>
+        metrics :+= IterationMetrics(it, changedAcc.value,
+          (System.nanoTime() - t0) / 1000000)
+        if (it % c.every == 0 || converged || it >= iterations)
+          writeCheckpoint(g, c, it, converged, labels, metrics)
+      }
+    }
+    val out = materialize(g, labels)
+    labels.unpersist(blocking = false)
+    (out, it)
+  }
+
   private def singleSourceInit(g: PrGraph, source: Long): RDD[Array[Double]] =
     g.verts.mapPartitions({ it =>
       val vm = it.next()

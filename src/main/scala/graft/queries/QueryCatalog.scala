@@ -120,6 +120,15 @@ object QueryCatalog {
     "g_lp" -> ((s, dir) =>
       LabelPropagation.run(richGraph(s, dir), iterations = 2)
         .state.select(col("id"), col("label"))),
+    // LP on the CSR fast path — the kernel's (mode, ·) pass: the exchange
+    // ships RLE'd label histograms instead of packed sums; same external
+    // oracle as the column-engine g_lp (engine/GatherScatter.scala)
+    "g_lp_csr" -> ((s, dir) => {
+      val built = graft.engine.GatherScatter.build(richGraph(s, dir).undirected, 8)
+      val (labels, _) = graft.engine.GatherScatter.labelPropagation(built, 2)
+      graft.engine.GatherScatter.toDF(s, labels)
+        .select(col("id"), col("pagerank").cast("long").as("label"))
+    }),
     "g_bfs" -> ((s, dir) => {
       val g = bucketGraph(s, dir)
       Bfs.run(g, minVertex(g)).state
@@ -280,6 +289,7 @@ object QueryCatalog {
         |  UNION SELECT dst, user_id, bkt FROM bucket)
         |SELECT id, min(id) OVER (PARTITION BY user_id, bkt) AS component FROM members""".stripMargin),
     "g_lp" -> lpUnrolled,
+    "g_lp_csr" -> lpUnrolled,
     "g_bfs" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket

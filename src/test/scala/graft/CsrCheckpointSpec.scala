@@ -99,6 +99,31 @@ class CsrCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: interrupted run resumes to identical labels and count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val und = fixture.undirected
+    val g = GatherScatter.build(und, 8)
+    try {
+      val (refR, refIters) = GatherScatter.labelPropagation(g, 8)
+      val ref = ranksMap(refR)
+      refR.unpersist(false)
+      val cp = Some(CsrCheckpoint(dir, "lp-run", every = 1))
+      GatherScatter.labelPropagation(g, 2, cp = cp)._1.unpersist(false)
+      // every LP superstep is dense (mode is recomputed from all neighbor
+      // messages), so resume from the exact saved labels is superstep-for-
+      // superstep identical to the uninterrupted run
+      val (resR, iters) = GatherScatter.labelPropagation(g, 8, cp = cp)
+      val res = ranksMap(resR)
+      resR.unpersist(false)
+      assert(iters === refIters)
+      assert(res === ref)
+    } finally {
+      g.unpersist()
+      und.unpersistAll()
+      fixture.unpersistAll()
+    }
+  }
+
   test("resume refuses a checkpoint whose layout does not match the graph") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
     val cp = Some(CsrCheckpoint(dir, "mismatch", every = 1))

@@ -165,6 +165,36 @@ class GatherScatterSpec extends AnyFunSuite {
     }
   }
 
+  test("(mode) kernel: label propagation == column-engine LP (reference graph + transcripts + planted hub)") {
+    // the third ⊕ on the static exchange: mode-of-neighbor-labels with the
+    // smaller-label tie-break. The hub case pins the mirror-broadcast path
+    // (a hot vertex's label reaches its shard edges via the broadcast) AND
+    // the count semantics (hub fan-in pre-aggregated per source partition
+    // must still yield the same mode the column engine's flat count does).
+    val cases = Seq(
+      "test.bin.mtx" -> LinkGraph(
+        graft.sources.MtxReader.read(s, "/root/reference/data/test.bin.mtx"), 4),
+      "transcripts" -> Transcripts.toGraph(Transcripts.synthesize(s, 150)),
+      "hub" -> LinkGraph.fromSeq(s,
+        (2L to 600L).map(i => Edge(1L, i, 1.0)) ++
+          Seq(Edge(700L, 701L, 1.0), Edge(701L, 702L, 1.0), Edge(1L, 700L, 1.0)), 4)
+    )
+    for ((name, g) <- cases; iters <- Seq(1, 3)) {
+      val want = graft.algos.LabelPropagation.run(g, iterations = iters).state
+        .select("id", "label").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val und = g.undirected
+      val built = GatherScatter.build(und,
+        numPartitions = 4, hotDegree = if (name == "hub") 100 else 0)
+      val (labels, _) = GatherScatter.labelPropagation(built, iters)
+      val got = GatherScatter.toDF(s, labels).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap
+      assert(got === want, s"case $name, $iters iterations")
+      labels.unpersist(false); built.unpersist()
+      und.unpersistAll(); g.unpersistAll()
+    }
+  }
+
   test("(min,+) kernel: BFS levels == column-engine BFS on the reference graph") {
     val g = LinkGraph(
       graft.sources.MtxReader.read(s, "/root/reference/data/test.bin.mtx"), 4)
