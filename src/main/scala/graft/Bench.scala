@@ -183,6 +183,46 @@ object Bench {
     (Leg(g.numEdges, run, walls, steal), run)
   }
 
+  /** One-shot triangle counting, CSR compact-forward vs the column engine's
+    * wedge join, on the deterministic community fixture (transcript graphs
+    * are nearly triangle-free, so triangle throughput needs its own graph).
+    * The two engines' global totals must AGREE — a cross-engine correctness
+    * assertion running inside the bench. Returns (csr secs, column secs,
+    * edges, total triangles). */
+  private def triangleBench(spark: SparkSession, nBlocks: Long, blockSize: Int,
+                            reps: Int): (Vector[Double], Vector[Double], Long, Long) = {
+    import graft.engine.TriangleCsr
+    import graft.algos.TriangleCount
+    val edges = TriangleCsr.communityEdges(spark, nBlocks, blockSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = LinkGraph(edges, 32)
+    val nEdges = g.numEdges
+    g.vertices.count() // pre-pay the shared vertex set; keep across reps
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    def sweepNew(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (!keep(id)) r.unpersist(blocking = true)
+      }
+    var totCsr = -1L; var totCol = -2L
+    val csrW = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      totCsr = TriangleCsr.total(g, 32)
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweepNew(); sec
+    }.toVector
+    val colW = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      totCol = TriangleCount.perVertex(g)
+        .agg(org.apache.spark.sql.functions.sum("triangles")).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweepNew(); sec
+    }.toVector
+    require(totCsr == totCol, s"triangle engines disagree: csr=$totCsr column=$totCol")
+    g.unpersistAll()
+    edges.unpersist(blocking = true)
+    (csrW, colW, nEdges, totCsr)
+  }
+
   /** One local-cluster leg: fresh executor JVMs, LOAD the prebuilt CSR
     * snapshot (GatherScatter.save/load — the reference's ReadGraphMatBin
     * analog; legs time supersteps, not ingest), fastBench loop, teardown. */
@@ -373,6 +413,7 @@ object Bench {
     val sql = sqlBench(s4N, edgePath, iters = 5, warmIters = 2, reps = 3)
     val (ccLeg, ccIters) = ccBench(s4N, edgePath, reps = 2)
     val (lpLeg, lpIters) = lpBench(s4N, edgePath, iters = 5, reps = 2)
+    val (triCsrW, triColW, triEdges, triTotal) = triangleBench(s4N, 40000L, 24, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -434,6 +475,7 @@ object Bench {
       sb ++= f""""pagerank_sql":{"path":"column-engine","leg":${legJson(sql)},"edges_per_sec":${sql.eps(sql.best)}%.0f},"""
       sb ++= f""""cc_minplus":{"path":"gather-scatter (min,+)","leg":${legJson(ccLeg)},"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps_to_fixpoint":$ccIters,"note":"HashMin connected components to the exact changed==0 fixpoint on the undirected headline graph - the kernel's second semiring on the same routed CSR blocks and split exchange"},"""
       sb ++= f""""lp_mode":{"path":"gather-scatter (mode)","leg":${legJson(lpLeg)},"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters,"note":"community label propagation, 5-superstep budget on the undirected headline graph - the kernel's third (non-semiring) pass: the exchange ships RLE label histograms with per-source-partition pre-aggregation instead of packed sums"},"""
+      sb ++= f""""triangle":{"edges":$triEdges,"total":$triTotal,"csr":{"reps":${jarr(triCsrW)},"sec":${triCsrW.min}%.3f,"edges_per_sec":${triEdges / triCsrW.min}%.0f},"column":{"reps":${jarr(triColW)},"sec":${triColW.min}%.3f,"edges_per_sec":${triEdges / triColW.min}%.0f},"note":"one-shot triangle counting on the deterministic community fixture (40k blocks x 24, ~30%% intra-block density); csr = compact-forward over sorted primitive adjacency blocks with a bounded per-partition-pair adjacency exchange, column = degree-oriented wedge join + closing semi-join; both engines' totals asserted equal in-bench"},"""
       sb ++= pairJson("local-cluster", "1x1", "4x1", c1, c4, effC, effCMed,
         "1 vs 4 single-core executor JVMs (pre-touched heaps), scale graph, 64 cache-blocked conversation-colocated partitions (keyShift=20), interleaved rounds, snapshot load; total cores stay under the DRAM knee (see scaling_8_32) so the pair isolates executor scaling from host bandwidth - BASELINE.md Scaling").patch(0, "\"scaling\":", 0)
       sb ++= ","
@@ -467,6 +509,7 @@ object Bench {
       f""""pagerank_sql":{"sec":${sql.best}%.2f,"edges_per_sec":${sql.eps(sql.best)}%.0f},""" +
       f""""cc_minplus":{"sec":${ccLeg.best}%.2f,"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps":$ccIters},""" +
       f""""lp_mode":{"sec":${lpLeg.best}%.2f,"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters},""" +
+      f""""triangle":{"csr_sec":${triCsrW.min}%.2f,"column_sec":${triColW.min}%.2f,"total":$triTotal},""" +
       s""""scaling":${cPair(c1, c4, effC)},""" +
       s""""scaling_fixed_cores":${cPair(f2, f8, effF)},""" +
       s""""scaling_threads":${cPair(t1, t4, effT)},""" +

@@ -93,7 +93,7 @@ object GatherScatter {
     z ^ (z >>> 31)
   }
 
-  @inline private def partOf(k: Long, n: Int): Int = {
+  @inline private[engine] def partOf(k: Long, n: Int): Int = {
     val h = (mix(k) % n).toInt
     if (h < 0) h + n else h
   }
@@ -258,7 +258,7 @@ object GatherScatter {
     }
   }
 
-  private final class IdPartitioner(val n: Int) extends Partitioner {
+  private[engine] final class IdPartitioner(val n: Int) extends Partitioner {
     def numPartitions: Int = n
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
     override def equals(o: Any): Boolean = o match {

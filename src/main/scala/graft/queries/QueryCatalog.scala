@@ -171,6 +171,11 @@ object QueryCatalog {
     }),
     "g_triangle" -> ((s, dir) =>
       TriangleCount.perVertex(richGraph(s, dir)).select(col("id"), col("triangles"))),
+    // triangles on the CSR fast path (compact-forward over sorted primitive
+    // adjacency blocks — engine/TriangleCsr.scala); same external oracle as
+    // the column-engine g_triangle
+    "g_triangle_csr" -> ((s, dir) =>
+      graft.engine.TriangleCsr.perVertex(richGraph(s, dir), 8)),
     "g_toposort" -> ((s, dir) =>
       // bucket chains are disjoint paths: Kahn order == position in the path
       TopologicalSort.run(bucketGraph(s, dir)).state.select(col("id"), col("order")))
@@ -311,13 +316,16 @@ object QueryCatalog {
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
         |SELECT id, rn - min(rn) OVER (PARTITION BY user_id, bkt) AS "order" FROM mrn""".stripMargin),
-    "g_triangle" -> (EventGraph.sqlBase +
-      """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
-        |tri AS (
-        |  SELECT e2.dst AS v, count(*) AS t
-        |  FROM dag e1 JOIN dag e2 ON e1.src = e2.src AND e1.dst < e2.dst
-        |  WHERE EXISTS (SELECT 1 FROM dag e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
-        |  GROUP BY 1)
-        |SELECT rv.id, coalesce(tri.t, 0) AS triangles FROM rv LEFT JOIN tri ON tri.v = rv.id""".stripMargin)
+    "g_triangle" -> triangleOracle,
+    "g_triangle_csr" -> triangleOracle
   )
+
+  private lazy val triangleOracle: String = EventGraph.sqlBase +
+    """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
+      |tri AS (
+      |  SELECT e2.dst AS v, count(*) AS t
+      |  FROM dag e1 JOIN dag e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  WHERE EXISTS (SELECT 1 FROM dag e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)
+      |  GROUP BY 1)
+      |SELECT rv.id, coalesce(tri.t, 0) AS triangles FROM rv LEFT JOIN tri ON tri.v = rv.id""".stripMargin
 }
