@@ -413,7 +413,8 @@ object Bench {
     val sql = sqlBench(s4N, edgePath, iters = 5, warmIters = 2, reps = 3)
     val (ccLeg, ccIters) = ccBench(s4N, edgePath, reps = 2)
     val (lpLeg, lpIters) = lpBench(s4N, edgePath, iters = 5, reps = 2)
-    val (triCsrW, triColW, triEdges, triTotal) = triangleBench(s4N, 40000L, 24, reps = 2)
+    val triBlocks = sys.env.getOrElse("SPARK_GRAFT_TRI_BLOCKS", "40000").toLong
+    val (triCsrW, triColW, triEdges, triTotal) = triangleBench(s4N, triBlocks, 24, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -475,7 +476,7 @@ object Bench {
       sb ++= f""""pagerank_sql":{"path":"column-engine","leg":${legJson(sql)},"edges_per_sec":${sql.eps(sql.best)}%.0f},"""
       sb ++= f""""cc_minplus":{"path":"gather-scatter (min,+)","leg":${legJson(ccLeg)},"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps_to_fixpoint":$ccIters,"note":"HashMin connected components to the exact changed==0 fixpoint on the undirected headline graph - the kernel's second semiring on the same routed CSR blocks and split exchange"},"""
       sb ++= f""""lp_mode":{"path":"gather-scatter (mode)","leg":${legJson(lpLeg)},"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters,"note":"community label propagation, 5-superstep budget on the undirected headline graph - the kernel's third (non-semiring) pass: the exchange ships RLE label histograms with per-source-partition pre-aggregation instead of packed sums"},"""
-      sb ++= f""""triangle":{"edges":$triEdges,"total":$triTotal,"csr":{"reps":${jarr(triCsrW)},"sec":${triCsrW.min}%.3f,"edges_per_sec":${triEdges / triCsrW.min}%.0f},"column":{"reps":${jarr(triColW)},"sec":${triColW.min}%.3f,"edges_per_sec":${triEdges / triColW.min}%.0f},"note":"one-shot triangle counting on the deterministic community fixture (40k blocks x 24, ~30%% intra-block density); csr = compact-forward over sorted primitive adjacency blocks with a bounded per-partition-pair adjacency exchange, column = degree-oriented wedge join + closing semi-join; both engines' totals asserted equal in-bench"},"""
+      sb ++= f""""triangle":{"edges":$triEdges,"total":$triTotal,"csr":{"reps":${jarr(triCsrW)},"sec":${triCsrW.min}%.3f,"edges_per_sec":${triEdges / triCsrW.min}%.0f},"column":{"reps":${jarr(triColW)},"sec":${triColW.min}%.3f,"edges_per_sec":${triEdges / triColW.min}%.0f},"note":"one-shot triangle counting on the deterministic community fixture ($triBlocks blocks x 24, ~30%% intra-block density); csr = compact-forward over sorted primitive adjacency blocks with a bounded per-partition-pair adjacency exchange, column = degree-oriented wedge join + closing semi-join; both engines' totals asserted equal in-bench"},"""
       sb ++= pairJson("local-cluster", "1x1", "4x1", c1, c4, effC, effCMed,
         "1 vs 4 single-core executor JVMs (pre-touched heaps), scale graph, 64 cache-blocked conversation-colocated partitions (keyShift=20), interleaved rounds, snapshot load; total cores stay under the DRAM knee (see scaling_8_32) so the pair isolates executor scaling from host bandwidth - BASELINE.md Scaling").patch(0, "\"scaling\":", 0)
       sb ++= ","
