@@ -183,6 +183,43 @@ object Bench {
     (Leg(g.numEdges, run, walls, steal), run)
   }
 
+  /** 3-op vector-kernel throughput: SGD matrix factorization (K=20) on the
+    * deterministic bipartite rating fixture, CSR (VectorSuperstep) vs the
+    * column engine, same init/constants. eps is per-superstep over the
+    * BIDIRECTIONAL edge count (what one superstep actually traverses).
+    * The column leg runs fewer iterations (its per-superstep cost is large
+    * and iteration-independent); both eps values are per-superstep. */
+  private def sgdBench(spark: SparkSession, nUsers: Long, degree: Int,
+                       iters: Int, reps: Int): (Leg, Leg) = {
+    import graft.engine.VectorSuperstep
+    import graft.algos.Sgd
+    import org.apache.spark.sql.functions.col
+    val ratings = VectorSuperstep.ratingsEdges(spark, nUsers, degree)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bidir = ratings.union(
+      ratings.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val g = GatherScatter.build(LinkGraph(bidir), 32, weighted = true)
+    VectorSuperstep.sgd(g, iterations = 1, init = Sgd.initLv).unpersist(false) // warm
+    val (walls, steal) = timedReps(reps) { () =>
+      VectorSuperstep.sgd(g, iterations = iters, init = Sgd.initLv).unpersist(false)
+    }
+    val csrLeg = Leg(g.numEdges, iters, walls, steal)
+    // column engine on the SAME graph, per-superstep from engine metrics
+    val colGraph = LinkGraph(ratings)
+    val colIters = 2
+    val colWalls = (1 to reps).map { _ =>
+      val res = graft.algos.Sgd.run(colGraph, iterations = colIters)
+      val sec = res.metrics.map(_.millis).sum / 1e3
+      res.state.unpersist()
+      sec
+    }.toVector
+    val colLeg = Leg(g.numEdges, colIters, colWalls, -1.0)
+    g.unpersist()
+    colGraph.unpersistAll()
+    ratings.unpersist(blocking = true)
+    (csrLeg, colLeg)
+  }
+
   /** One-shot triangle counting, CSR compact-forward vs the column engine's
     * wedge join, on the deterministic community fixture (transcript graphs
     * are nearly triangle-free, so triangle throughput needs its own graph).
@@ -415,6 +452,8 @@ object Bench {
     val (lpLeg, lpIters) = lpBench(s4N, edgePath, iters = 5, reps = 2)
     val triBlocks = sys.env.getOrElse("SPARK_GRAFT_TRI_BLOCKS", "40000").toLong
     val (triCsrW, triColW, triEdges, triTotal) = triangleBench(s4N, triBlocks, 24, reps = 2)
+    val sgdUsers = sys.env.getOrElse("SPARK_GRAFT_SGD_USERS", "400000").toLong
+    val (sgdCsrLeg, sgdColLeg) = sgdBench(s4N, sgdUsers, 20, iters = 5, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -477,6 +516,7 @@ object Bench {
       sb ++= f""""cc_minplus":{"path":"gather-scatter (min,+)","leg":${legJson(ccLeg)},"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps_to_fixpoint":$ccIters,"note":"HashMin connected components to the exact changed==0 fixpoint on the undirected headline graph - the kernel's second semiring on the same routed CSR blocks and split exchange"},"""
       sb ++= f""""lp_mode":{"path":"gather-scatter (mode)","leg":${legJson(lpLeg)},"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters,"note":"community label propagation, 5-superstep budget on the undirected headline graph - the kernel's third (non-semiring) pass: the exchange ships RLE label histograms with per-source-partition pre-aggregation instead of packed sums"},"""
       sb ++= f""""triangle":{"edges":$triEdges,"total":$triTotal,"csr":{"reps":${jarr(triCsrW)},"sec":${triCsrW.min}%.3f,"edges_per_sec":${triEdges / triCsrW.min}%.0f},"column":{"reps":${jarr(triColW)},"sec":${triColW.min}%.3f,"edges_per_sec":${triEdges / triColW.min}%.0f},"note":"one-shot triangle counting on the deterministic community fixture ($triBlocks blocks x 24, ~30%% intra-block density); csr = compact-forward over sorted primitive adjacency blocks with a bounded per-partition-pair adjacency exchange, column = degree-oriented wedge join + closing semi-join; both engines' totals asserted equal in-bench"},"""
+      sb ++= f""""sgd_vec":{"path":"csr 3-op vector kernel (K=20)","leg":${legJson(sgdCsrLeg)},"edges_per_sec":${sgdCsrLeg.eps(sgdCsrLeg.best)}%.0f,"column":{"leg":${legJson(sgdColLeg)},"edges_per_sec":${sgdColLeg.eps(sgdColLeg.best)}%.0f},"note":"SGD matrix factorization on the deterministic bipartite rating fixture ($sgdUsers users x 20 ratings, bidirectional edge count) - the 3-operand program form (x sees receiver state) on the CSR path: per superstep one receiver-vector mirror exchange plus one K-wide contribution exchange over the static index tables (VectorSuperstep.scala); column = the declarative Sgd program, per-superstep engine metrics"},"""
       sb ++= pairJson("local-cluster", "1x1", "4x1", c1, c4, effC, effCMed,
         "1 vs 4 single-core executor JVMs (pre-touched heaps), scale graph, 64 cache-blocked conversation-colocated partitions (keyShift=20), interleaved rounds, snapshot load; total cores stay under the DRAM knee (see scaling_8_32) so the pair isolates executor scaling from host bandwidth - BASELINE.md Scaling").patch(0, "\"scaling\":", 0)
       sb ++= ","
@@ -511,6 +551,7 @@ object Bench {
       f""""cc_minplus":{"sec":${ccLeg.best}%.2f,"edges_per_sec":${ccLeg.eps(ccLeg.best)}%.0f,"supersteps":$ccIters},""" +
       f""""lp_mode":{"sec":${lpLeg.best}%.2f,"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters},""" +
       f""""triangle":{"csr_sec":${triCsrW.min}%.2f,"column_sec":${triColW.min}%.2f,"total":$triTotal},""" +
+      f""""sgd_vec":{"sec":${sgdCsrLeg.best}%.2f,"edges_per_sec":${sgdCsrLeg.eps(sgdCsrLeg.best)}%.0f,"column_eps":${sgdColLeg.eps(sgdColLeg.best)}%.0f},""" +
       s""""scaling":${cPair(c1, c4, effC)},""" +
       s""""scaling_fixed_cores":${cPair(f2, f8, effF)},""" +
       s""""scaling_threads":${cPair(t1, t4, effT)},""" +

@@ -194,6 +194,18 @@ object Sgd {
     (z >>> 11).toDouble / 9007199254740992.0 // 2^53
   }
 
+  /** Scalar twin of [[md5Init]] for the CSR vector kernel's
+    * `(id, k) => Double` init: the same md5("id:k") first-8-hex-digits /
+    * 2^32 value, computed JVM-side so both engines (and the DuckDB oracle)
+    * start from identical latent vectors. */
+  def md5InitScalar(id: Long, k: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$id:$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    v.toDouble / 4294967296.0
+  }
+
   /** md5-derived init vector (first 8 hex digits → uniform [0,1)): exactly
     * replayable by the DuckDB oracle (conv/substring are both engines'
     * builtins), unlike the splitmix default. */

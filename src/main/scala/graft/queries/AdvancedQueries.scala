@@ -81,6 +81,22 @@ object AdvancedQueries {
         .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
     }),
 
+    // The SAME SGD program on the CSR 3-op vector kernel
+    // (engine/VectorSuperstep.scala): bidirectional weighted build, scalar
+    // md5 init. Shares g_sgd's oracle — ⊕ fold order is the two engines'
+    // only divergence (~1e-12), absorbed by the 4-decimal rounding.
+    "g_sgd_csr" -> ((s, dir) => {
+      val g = ratingGraph(s, dir)
+      val bidir = g.edges.union(
+        g.edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      val pg = graft.engine.GatherScatter.build(LinkGraph(bidir), 8, weighted = true)
+      val blocks = graft.engine.VectorSuperstep.sgd(pg, k = Sgd.K, iterations = 2,
+        lambda = 0.05, stepSize = 0.001, init = Sgd.md5InitScalar)
+      graft.engine.VectorSuperstep.toDF(s, blocks)
+        .select(col("id"), posexplode(col("lv")).as(Seq("k", "v")))
+        .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
+    }),
+
     // LDA, 2 fixed iterations over the doc-term graph, md5 gamma init.
     "g_lda" -> ((s, dir) => {
       val (g, types) = docTermGraph(s, dir)
@@ -143,6 +159,24 @@ object AdvancedQueries {
        |         CASE WHEN c.s IS NULL THEN l.v
        |              ELSE l.v + 0.001 * (-0.05 * l.v + c.s) END AS v
        |  FROM lv${n - 1} l LEFT JOIN c$n c ON c.id = l.id AND c.k = l.k)""".stripMargin
+
+  /** The md5-replayable 2-iteration SGD pipeline — shared by g_sgd (column
+    * engine) and g_sgd_csr (the CSR 3-op vector kernel). */
+  private val sgdOracle: String =
+    s"""WITH items AS (
+       |  SELECT event_type, 2000000000 + row_number() OVER (ORDER BY event_type) - 1 AS item
+       |  FROM (SELECT DISTINCT event_type FROM events) q),
+       |r AS (
+       |  SELECT user_id AS u, item AS i, CAST(count(*) AS DOUBLE) AS w
+       |  FROM events JOIN items USING (event_type) GROUP BY 1, 2),
+       |verts AS (SELECT u AS id FROM r UNION SELECT i FROM r),
+       |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
+       |lv0 AS (
+       |  SELECT id, k, ${hexU("md5(id || ':' || k)")} AS v
+       |  FROM verts CROSS JOIN ks),
+       |${sgdIter(1)},
+       |${sgdIter(2)}
+       |SELECT id, k, round(v + 1e-9, 4) AS v FROM lv2""".stripMargin
 
   private val ldaIter: Int => String = n =>
     s"""gn$n AS (SELECT k, sum(n) AS g FROM s${n - 1} WHERE id >= 1000000 GROUP BY 1),
@@ -237,21 +271,11 @@ object AdvancedQueries {
         |FROM cum m, s0
         |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin),
 
-    "g_sgd" ->
-      s"""WITH items AS (
-         |  SELECT event_type, 2000000000 + row_number() OVER (ORDER BY event_type) - 1 AS item
-         |  FROM (SELECT DISTINCT event_type FROM events) q),
-         |r AS (
-         |  SELECT user_id AS u, item AS i, CAST(count(*) AS DOUBLE) AS w
-         |  FROM events JOIN items USING (event_type) GROUP BY 1, 2),
-         |verts AS (SELECT u AS id FROM r UNION SELECT i FROM r),
-         |ks AS (SELECT unnest(generate_series(0, 19)) AS k),
-         |lv0 AS (
-         |  SELECT id, k, ${hexU("md5(id || ':' || k)")} AS v
-         |  FROM verts CROSS JOIN ks),
-         |${sgdIter(1)},
-         |${sgdIter(2)}
-         |SELECT id, k, round(v + 1e-9, 4) AS v FROM lv2""".stripMargin,
+    "g_sgd" -> sgdOracle,
+
+    // same oracle: the CSR vector kernel replays the identical program
+    // (md5 init, 2 iterations); 4-decimal rounding absorbs ⊕-order ulps
+    "g_sgd_csr" -> sgdOracle,
 
     "g_lda" -> (ldaBase + "\nSELECT id, k, round(n + 1e-9, 4) AS v FROM s2"),
 
