@@ -50,24 +50,28 @@ trap cleanup EXIT
 cleanup; sleep 2  # clear any leftovers from a previous run
 
 "$SPARK_HOME/sbin/start-master.sh"
-SPARK_WORKER_INSTANCES=4 SPARK_WORKER_CORES=1 SPARK_WORKER_MEMORY=8g \
+SPARK_WORKER_INSTANCES=4 SPARK_WORKER_CORES=1 SPARK_WORKER_MEMORY=12g \
   "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL"
 sleep 6
 REG=$(grep -l 'Successfully registered with master' "$WORK"/logs/*Worker*.out 2>/dev/null | wc -l)
 echo "[standalone] workers registered: $REG/4"
 [ "$REG" -ge 4 ] || { echo "workers failed to register"; exit 1; }
 
-leg() { # $1 = executor count; prints the SUBMITLEG json line
-  "$SPARK_HOME/bin/spark-submit" --master "$MASTER_URL" \
-    --total-executor-cores "$1" --executor-cores 1 --executor-memory 6g \
+leg() { # $1 = executor count, $2 = per-executor heap MB; prints the leg json
+  GRAFT_EXEC_MEM_MB="$2" "$SPARK_HOME/bin/spark-submit" --master "$MASTER_URL" \
+    --total-executor-cores "$1" --executor-cores 1 --executor-memory "${2}m" \
     --driver-memory 4g --class graft.tools.SubmitScaling "$JAR" \
     "$SNAP" "$1" "$ITERS" 2 2>/dev/null | grep '^SUBMITLEG' | sed 's/^SUBMITLEG//'
 }
 
+# per-leg heaps mirror the bench's local-cluster pair: the 1-executor leg
+# holds the WHOLE snapshot + per-superstep state in one JVM (10g — at 6g it
+# thrashes block eviction and runs ~8x slow), the 4-executor legs hold a
+# quarter each (6g)
 L1=(); L4=()
 for r in $(seq 1 "$ROUNDS"); do
-  echo "[standalone] round $r: 1-executor leg"; L1+=("$(leg 1)")
-  echo "[standalone] round $r: 4-executor leg"; L4+=("$(leg 4)")
+  echo "[standalone] round $r: 1-executor leg"; L1+=("$(leg 1 10240)")
+  echo "[standalone] round $r: 4-executor leg"; L4+=("$(leg 4 6144)")
 done
 
 python3 - "$REPO/standalone_scaling.json" "${L1[@]}" --- "${L4[@]}" <<'EOF'
