@@ -204,8 +204,12 @@ object Bench {
       VectorSuperstep.sgd(g, iterations = iters, init = Sgd.initLv).unpersist(false)
     }
     val csrLeg = Leg(g.numEdges, iters, walls, steal)
-    // column engine on the SAME graph, per-superstep from engine metrics
-    val colGraph = LinkGraph(ratings)
+    // column engine at a QUARTER of the fixture (its per-superstep cost is
+    // minutes at full size); eps is per-edge-per-superstep, so comparable
+    val colRatings = VectorSuperstep.ratingsEdges(spark, nUsers / 4, degree)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val colEdges = colRatings.count() * 2 // Direction.All traverses both ways
+    val colGraph = LinkGraph(colRatings)
     val colIters = 2
     val colWalls = (1 to reps).map { _ =>
       val res = graft.algos.Sgd.run(colGraph, iterations = colIters)
@@ -213,10 +217,55 @@ object Bench {
       res.state.unpersist()
       sec
     }.toVector
-    val colLeg = Leg(g.numEdges, colIters, colWalls, -1.0)
+    val colLeg = Leg(colEdges, colIters, colWalls, -1.0)
     g.unpersist()
     colGraph.unpersistAll()
+    colRatings.unpersist(blocking = true)
     ratings.unpersist(blocking = true)
+    (csrLeg, colLeg)
+  }
+
+  /** 3-op vector-kernel throughput, second program: LDA (K=20 topics) on a
+    * bipartite doc-term fixture (integer token counts 1..5). CSR
+    * (VectorSuperstep.lda) vs the column engine at a quarter of the
+    * fixture. Both timed windows include the init pass, so supersteps =
+    * iters + 1 edge passes for eps. Item ids ≥ 1e9 play the term role. */
+  private def ldaBench(spark: SparkSession, nDocs: Long, degree: Int,
+                       iters: Int, reps: Int): (Leg, Leg) = {
+    import graft.engine.VectorSuperstep
+    import graft.algos.{Lda, Sgd}
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    def docTerm(n: Long) = VectorSuperstep.ratingsEdges(spark, n, degree)
+      .withColumn("weight", lit(1.0) + floor(col("weight"))) // counts 1..5
+    val edges = docTerm(nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bidir = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val g = GatherScatter.build(LinkGraph(bidir), 32, weighted = true)
+    val termMin = 1000000000L
+    VectorSuperstep.lda(g, iterations = 1, termMinId = termMin,
+      gammaInit = Sgd.md5InitScalar).unpersist(false) // warm (incl. init path)
+    val (walls, steal) = timedReps(reps) { () =>
+      VectorSuperstep.lda(g, iterations = iters, termMinId = termMin,
+        gammaInit = Sgd.md5InitScalar).unpersist(false)
+    }
+    val csrLeg = Leg(g.numEdges, iters + 1, walls, steal)
+    val colEdgesDf = docTerm(nDocs / 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val colEdges = colEdgesDf.count() * 2
+    val colGraph = LinkGraph(colEdgesDf)
+    val types = Lda.typesByThreshold(colGraph, termMin - 1)
+    val colIters = 2
+    val colWalls = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      Lda.run(colGraph, types, iterations = colIters).count()
+      (System.nanoTime() - t0) / 1e9
+    }.toVector
+    val colLeg = Leg(colEdges, colIters + 1, colWalls, -1.0)
+    g.unpersist()
+    colGraph.unpersistAll()
+    colEdgesDf.unpersist(blocking = true)
+    edges.unpersist(blocking = true)
     (csrLeg, colLeg)
   }
 
@@ -454,6 +503,8 @@ object Bench {
     val (triCsrW, triColW, triEdges, triTotal) = triangleBench(s4N, triBlocks, 24, reps = 2)
     val sgdUsers = sys.env.getOrElse("SPARK_GRAFT_SGD_USERS", "400000").toLong
     val (sgdCsrLeg, sgdColLeg) = sgdBench(s4N, sgdUsers, 20, iters = 5, reps = 2)
+    val ldaDocs = sys.env.getOrElse("SPARK_GRAFT_LDA_DOCS", "400000").toLong
+    val (ldaCsrLeg, ldaColLeg) = ldaBench(s4N, ldaDocs, 20, iters = 4, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
@@ -517,6 +568,7 @@ object Bench {
       sb ++= f""""lp_mode":{"path":"gather-scatter (mode)","leg":${legJson(lpLeg)},"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters,"note":"community label propagation, 5-superstep budget on the undirected headline graph - the kernel's third (non-semiring) pass: the exchange ships RLE label histograms with per-source-partition pre-aggregation instead of packed sums"},"""
       sb ++= f""""triangle":{"edges":$triEdges,"total":$triTotal,"csr":{"reps":${jarr(triCsrW)},"sec":${triCsrW.min}%.3f,"edges_per_sec":${triEdges / triCsrW.min}%.0f},"column":{"reps":${jarr(triColW)},"sec":${triColW.min}%.3f,"edges_per_sec":${triEdges / triColW.min}%.0f},"note":"one-shot triangle counting on the deterministic community fixture ($triBlocks blocks x 24, ~30%% intra-block density); csr = compact-forward over sorted primitive adjacency blocks with a bounded per-partition-pair adjacency exchange, column = degree-oriented wedge join + closing semi-join; both engines' totals asserted equal in-bench"},"""
       sb ++= f""""sgd_vec":{"path":"csr 3-op vector kernel (K=20)","leg":${legJson(sgdCsrLeg)},"edges_per_sec":${sgdCsrLeg.eps(sgdCsrLeg.best)}%.0f,"column":{"leg":${legJson(sgdColLeg)},"edges_per_sec":${sgdColLeg.eps(sgdColLeg.best)}%.0f},"note":"SGD matrix factorization on the deterministic bipartite rating fixture ($sgdUsers users x 20 ratings, bidirectional edge count) - the 3-operand program form (x sees receiver state) on the CSR path: per superstep one receiver-vector mirror exchange plus one K-wide contribution exchange over the static index tables (VectorSuperstep.scala); column = the declarative Sgd program, per-superstep engine metrics"},"""
+      sb ++= f""""lda_vec":{"path":"csr 3-op vector kernel (K=20 topics)","leg":${legJson(ldaCsrLeg)},"edges_per_sec":${ldaCsrLeg.eps(ldaCsrLeg.best)}%.0f,"column":{"leg":${legJson(ldaColLeg)},"edges_per_sec":${ldaColLeg.eps(ldaColLeg.best)}%.0f},"note":"LDA on the bipartite doc-term fixture ($ldaDocs docs x 20 tokens, counts 1-5, bidirectional edge count); timed window = init pass + iterate passes (supersteps counts both); per-edge work is the heaviest in the suite (K gammas + normalize); column leg at a quarter of the fixture, eps per-edge-per-pass comparable"},"""
       sb ++= pairJson("local-cluster", "1x1", "4x1", c1, c4, effC, effCMed,
         "1 vs 4 single-core executor JVMs (pre-touched heaps), scale graph, 64 cache-blocked conversation-colocated partitions (keyShift=20), interleaved rounds, snapshot load; total cores stay under the DRAM knee (see scaling_8_32) so the pair isolates executor scaling from host bandwidth - BASELINE.md Scaling").patch(0, "\"scaling\":", 0)
       sb ++= ","
@@ -552,6 +604,7 @@ object Bench {
       f""""lp_mode":{"sec":${lpLeg.best}%.2f,"edges_per_sec":${lpLeg.eps(lpLeg.best)}%.0f,"supersteps":$lpIters},""" +
       f""""triangle":{"csr_sec":${triCsrW.min}%.2f,"column_sec":${triColW.min}%.2f,"total":$triTotal},""" +
       f""""sgd_vec":{"sec":${sgdCsrLeg.best}%.2f,"edges_per_sec":${sgdCsrLeg.eps(sgdCsrLeg.best)}%.0f,"column_eps":${sgdColLeg.eps(sgdColLeg.best)}%.0f},""" +
+      f""""lda_vec":{"sec":${ldaCsrLeg.best}%.2f,"edges_per_sec":${ldaCsrLeg.eps(ldaCsrLeg.best)}%.0f,"column_eps":${ldaColLeg.eps(ldaColLeg.best)}%.0f},""" +
       s""""scaling":${cPair(c1, c4, effC)},""" +
       s""""scaling_fixed_cores":${cPair(f2, f8, effF)},""" +
       s""""scaling_threads":${cPair(t1, t4, effT)},""" +

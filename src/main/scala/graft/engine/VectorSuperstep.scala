@@ -1,12 +1,13 @@
 package graft.engine
 
 import org.apache.spark.TaskContext
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
-import GatherScatter.{CsrBlock, IdPartitioner, PrGraph, VertexMeta}
+import GatherScatter.{IdPartitioner, PrGraph}
 
 /**
  * K-vector-payload supersteps on the CSR gather-scatter structures — the
@@ -32,22 +33,46 @@ import GatherScatter.{CsrBlock, IdPartitioner, PrGraph, VertexMeta}
  * Cross-executor bytes per superstep = 2 × (partition cut) × K doubles
  * (mirrors out, contributions back) — zero under conversation co-location,
  * and exactly GraphMat's x-broadcast + y-reduce volume in the general case.
+ * 2-op vector programs ([[VecKernel.needsRecv]] = false, e.g. the LDA init
+ * pass) skip the mirror phase entirely and pay the scalar kernel's single
+ * exchange, K-wide.
  *
  * Hot (degree-split) srcs ride the existing mirror broadcast, K-wide: their
  * edges live with the RECEIVER partition, so the dst vectors are local and
  * only the hub's own K-vector arrives by broadcast.
  *
- * Instantiated here for SGD matrix factorization (`src/SGD.cpp:36-236`):
- * ⊗ = srcLv · (rating − ⟨srcLv, dstLv⟩), ⊕ = vector sum, apply:
- * lv += step·(−λ·lv + Σ). Semantics are verified against the column
- * engine's 3-op Sgd program (allclose — SgdCsrSpec); the IEEE op ORDER of
- * ⊗ and apply matches the column engine's expressions exactly, so the only
- * divergence source is ⊕ fold order.
+ * Instantiated for the reference's two vector-state programs:
+ *  - SGD matrix factorization (`src/SGD.cpp:36-236`): ⊗ = srcLv · (rating −
+ *    ⟨srcLv, dstLv⟩), ⊕ = vector sum, apply: lv += step·(−λ·lv + Σ);
+ *  - LDA (`src/LDA.cpp:36-192`): init pass (gamma-normalized edge-count
+ *    vectors, seeded by the edge VALUE so both directions agree) then
+ *    iterate passes gamma_i ∝ (recv+off−1)(msg+off'−1)/globalN, normalized
+ *    per edge × count, REPLACING the receiver's vector; the global topic
+ *    vector is refreshed between supersteps (do_every_iteration).
+ * Semantics are verified against the column engine's 3-op programs
+ * (SgdCsrSpec / LdaCsrSpec); the IEEE op ORDER of ⊗ and apply matches the
+ * column engine's expressions exactly, so the only divergence source is
+ * ⊕ fold order.
  */
 object VectorSuperstep {
 
-  /** One result block per partition: `vecs` is K-packed, aligned to ids. */
-  final case class VecBlock(ids: Array[Long], k: Int, vecs: Array[Double])
+  /** A K-vector vertex program. One instance is shared by all tasks — keep
+    * implementations stateless (use `scratch`, allocated per task). */
+  abstract class VecKernel(val k: Int) extends Serializable {
+    /** 3-op (⊗ reads the receiver's vector)? false skips the mirror phase
+      * and `recv` arrives null. */
+    def needsRecv: Boolean = true
+    /** Per-edge ⊗, accumulated (⊕ = vector add) into acc[aOff, aOff+k). */
+    def edge(src: Array[Double], sOff: Int, srcId: Long, w: Double,
+             recv: Array[Double], dOff: Int, recvId: Long,
+             acc: Array[Double], aOff: Int,
+             globals: Array[Double], scratch: Array[Double]): Unit
+    /** Per-receiver apply: write out[off, off+k) from old and acc (same
+      * offset — receivers occupy the layout prefix). Default: replace. */
+    def applyRecv(old: Array[Double], acc: Array[Double], out: Array[Double],
+                  off: Int, id: Long, globals: Array[Double]): Unit =
+      System.arraycopy(acc, off, out, off, k)
+  }
 
   /** Dense K-packed state aligned to the partition's VertexMeta layout. */
   def initState(g: PrGraph, k: Int, f: (Long, Int) => Double): RDD[Array[Double]] =
@@ -102,24 +127,32 @@ object VectorSuperstep {
         }
     }
 
-  /** One synchronous SGD superstep. Returns (next state — lazy, caller
+  /** One synchronous vector superstep. Returns (next state — lazy, caller
     * persists+counts, the gathered split-exchange handle and the hub
     * broadcast — caller frees both after materializing). */
-  private def sgdStep(g: PrGraph, state: RDD[Array[Double]], k: Int,
-                      lambda: Double, stepSize: Double)
-      : (RDD[Array[Double]], RDD[_], org.apache.spark.broadcast.Broadcast[Array[Double]]) = {
+  private def step(g: PrGraph, state: RDD[Array[Double]], kern: VecKernel,
+                   globalsArr: Array[Double])
+      : (RDD[Array[Double]], RDD[_], Broadcast[Array[Double]]) = {
     val sc = state.sparkContext
+    val k = kern.k
     val idPart = new IdPartitioner(g.numPartitions)
     val hotBc = sc.broadcast(hotVecs(g, state, k))
-    val mirrors = mirrorPhase(state, g, k).partitionBy(idPart)
+    val globalsBc = sc.broadcast(globalsArr)
+    val hotIdsLoc = g.hotIds
+    val mirrors: RDD[(Int, (Int, Array[Double]))] =
+      if (kern.needsRecv) mirrorPhase(state, g, k).partitionBy(idPart)
+      else sc.emptyRDD[(Int, (Int, Array[Double]))].partitionBy(idPart)
     val gathered: RDD[(Int, (Int, Array[Double]))] = mirrors
       .zipPartitions(state, g.csr, g.meta, preservesPartitioning = false) {
         (mIt, sIt, cIt, metaIt) =>
           val st = sIt.next(); val blk = cIt.next(); val (vm, inIdx) = metaIt.next()
+          val gl = globalsBc.value
+          val scratch = new Array[Double](k)
           val p = TaskContext.getPartitionId()
+          val need = kern.needsRecv
           val recvVecs = new Array[Array[Double]](blk.outIds.length)
           mIt.foreach { case (_, (tp, m)) => recvVecs(tp) = m }
-          if (blk.outIds(p) != null) { // self mirror: local receiver state
+          if (need && blk.outIds(p) != null) { // self mirror: local state
             val idx = inIdx(p)
             val m = new Array[Double](idx.length * k)
             var j = 0
@@ -144,16 +177,15 @@ object VectorSuperstep {
             if (ids != null) {
               val acc = new Array[Double](ids.length * k)
               val es = blk.edgeSrcIdx(tp); val eo = blk.edgeOutIdx(tp)
-              val ew = blk.edgeW(tp); val rv = recvVecs(tp)
+              val ew = if (blk.edgeW == null) null else blk.edgeW(tp)
+              val rv = recvVecs(tp)
               var e = 0
               while (e < es.length) {
-                val sOff = es(e) * k; val dOff = eo(e) * k
-                var dot = 0.0
-                var d = 0
-                while (d < k) { dot += srcVec(sOff + d) * rv(dOff + d); d += 1 }
-                val err = ew(e) - dot
-                d = 0
-                while (d < k) { acc(dOff + d) += srcVec(sOff + d) * err; d += 1 }
+                val si = es(e); val oi = eo(e)
+                kern.edge(srcVec, si * k, blk.srcs(si),
+                  if (ew == null) 1.0 else ew(e),
+                  rv, oi * k, ids(oi),
+                  acc, oi * k, gl, scratch)
                 e += 1
               }
               out(tp) = acc
@@ -164,18 +196,16 @@ object VectorSuperstep {
           // LOCAL (they were routed here by dst) — fold into the self bucket
           if (blk.hotEdgeSrcIdx.length > 0) {
             val hv = hotBc.value
-            val acc = out(p); val rv = recvVecs(p)
+            val acc = out(p); val rv = recvVecs(p); val ids = blk.outIds(p)
             val hs = blk.hotEdgeSrcIdx; val ho = blk.hotEdgeOutIdx
             val hw = blk.hotEdgeW
             var e = 0
             while (e < hs.length) {
-              val sOff = blk.hotLocal(hs(e)) * k; val dOff = ho(e) * k
-              var dot = 0.0
-              var d = 0
-              while (d < k) { dot += hv(sOff + d) * rv(dOff + d); d += 1 }
-              val err = hw(e) - dot
-              d = 0
-              while (d < k) { acc(dOff + d) += hv(sOff + d) * err; d += 1 }
+              val hi = blk.hotLocal(hs(e)); val oi = ho(e)
+              kern.edge(hv, hi * k, hotIdsLoc(hi),
+                if (hw == null) 1.0 else hw(e),
+                rv, oi * k, ids(oi),
+                acc, oi * k, gl, scratch)
               e += 1
             }
           }
@@ -189,6 +219,7 @@ object VectorSuperstep {
     val next = remote.zipPartitions(gathered, g.meta, state, preservesPartitioning = true) {
       (rIt, lIt, mIt, oIt) =>
         val (vm, inIdx) = mIt.next(); val old = oIt.next()
+        val gl = globalsBc.value
         val p = TaskContext.getPartitionId()
         val acc = new Array[Double](vm.nRecv * k)
         @inline def fold(q: Int, vals: Array[Double]): Unit = {
@@ -205,18 +236,85 @@ object VectorSuperstep {
         rIt.foreach { case (_, (q, vals)) => fold(q, vals) }
         val nV = vm.ids.length
         val out = new Array[Double](nV * k)
-        val nR = vm.nRecv * k
         var i = 0
-        while (i < nR) {
-          // same IEEE order as the column apply: lv + step·((−λ·lv) + acc)
-          out(i) = old(i) + stepSize * (-lambda * old(i) + acc(i))
+        while (i < vm.nRecv) {
+          kern.applyRecv(old, acc, out, i * k, vm.ids(i), gl)
           i += 1
         }
         // in-degree-0 vertices never receive: keep their vectors
+        val nR = vm.nRecv * k
         System.arraycopy(old, nR, out, nR, nV * k - nR)
         Iterator.single(out)
     }
     (next, gathered, hotBc)
+  }
+
+  /** Drive `iterations` supersteps of `kern` from `state0` (consumed:
+    * unpersisted as soon as the first step lands). `globalsFn` recomputes
+    * the broadcast globals before every superstep (LDA's
+    * do_every_iteration); null-safe default = none. */
+  private def drive(g: PrGraph, state0: RDD[Array[Double]], kern: VecKernel,
+                    iterations: Int,
+                    globalsFn: RDD[Array[Double]] => Array[Double] = null)
+      : RDD[Array[Double]] = {
+    var state = state0
+    var it = 0
+    while (it < iterations) {
+      val gl = if (globalsFn == null) Array.emptyDoubleArray else globalsFn(state)
+      val (nextLazy, gathered, hotBc) = step(g, state, kern, gl)
+      val next = nextLazy.persist(StorageLevel.MEMORY_AND_DISK)
+      // bound lineage depth for long runs: every 16 supersteps the persisted
+      // state also truncates its chain (executor loss then recomputes at
+      // most 16 steps, never back to iteration 0)
+      if (it % 16 == 15) next.localCheckpoint()
+      next.count()
+      gathered.unpersist(blocking = false)
+      hotBc.unpersist(blocking = false)
+      state.unpersist(blocking = false)
+      state = next
+      it += 1
+    }
+    state
+  }
+
+  private def toBlocks(g: PrGraph, state: RDD[Array[Double]], k: Int): RDD[VecBlock] = {
+    val out = state.zipPartitions(g.verts, preservesPartitioning = true) { (sIt, vIt) =>
+      Iterator.single(VecBlock(vIt.next().ids, k, sIt.next()))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    state.unpersist(blocking = false)
+    out
+  }
+
+  /** One result block per partition: `vecs` is K-packed, aligned to ids. */
+  final case class VecBlock(ids: Array[Long], k: Int, vecs: Array[Double])
+
+  // ---- SGD matrix factorization ------------------------------------------
+
+  private final class SgdKernel(k: Int, lambda: Double, stepSize: Double)
+      extends VecKernel(k) {
+    def edge(src: Array[Double], sOff: Int, srcId: Long, w: Double,
+             recv: Array[Double], dOff: Int, recvId: Long,
+             acc: Array[Double], aOff: Int,
+             globals: Array[Double], scratch: Array[Double]): Unit = {
+      var dot = 0.0
+      var d = 0
+      while (d < k) { dot += src(sOff + d) * recv(dOff + d); d += 1 }
+      val err = w - dot
+      d = 0
+      while (d < k) { acc(aOff + d) += src(sOff + d) * err; d += 1 }
+    }
+    override def applyRecv(old: Array[Double], acc: Array[Double],
+                           out: Array[Double], off: Int, id: Long,
+                           globals: Array[Double]): Unit = {
+      var d = 0
+      while (d < k) {
+        // same IEEE order as the column apply: lv + step·((−λ·lv) + acc)
+        out(off + d) = old(off + d) +
+          stepSize * (-lambda * old(off + d) + acc(off + d))
+        d += 1
+      }
+    }
   }
 
   /**
@@ -233,29 +331,120 @@ object VectorSuperstep {
           init: (Long, Int) => Double): RDD[VecBlock] = {
     require(g.weighted,
       "sgd needs per-edge ratings: build the graph with weighted = true")
-    var state = initState(g, k, init).persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()
-    var it = 0
-    while (it < iterations) {
-      val (nextLazy, gathered, hotBc) = sgdStep(g, state, k, lambda, stepSize)
-      val next = nextLazy.persist(StorageLevel.MEMORY_AND_DISK)
-      // bound lineage depth for long runs: every 16 supersteps the persisted
-      // state also truncates its chain (executor loss then recomputes at
-      // most 16 steps, never back to iteration 0)
-      if (it % 16 == 15) next.localCheckpoint()
-      next.count()
-      gathered.unpersist(blocking = false)
-      hotBc.unpersist(blocking = false)
-      state.unpersist(blocking = false)
-      state = next
-      it += 1
+    val state0 = initState(g, k, init).persist(StorageLevel.MEMORY_AND_DISK)
+    state0.count()
+    toBlocks(g, drive(g, state0, new SgdKernel(k, lambda, stepSize), iterations), k)
+  }
+
+  // ---- LDA ----------------------------------------------------------------
+
+  /** Init pass (`LDAInitProgram`): 2-op — each edge contributes its
+    * value-seeded normalized gamma vector × count to the receiver; the
+    * bidirectional build delivers it to both endpoints. `gnTab` maps raw
+    * weight BITS → the normalized K-vector (weights are token counts — a
+    * tiny distinct set, broadcast with the closure). */
+  private final class LdaInitKernel(k: Int, gnTab: java.util.HashMap[Long, Array[Double]])
+      extends VecKernel(k) {
+    override def needsRecv: Boolean = false
+    def edge(src: Array[Double], sOff: Int, srcId: Long, w: Double,
+             recv: Array[Double], dOff: Int, recvId: Long,
+             acc: Array[Double], aOff: Int,
+             globals: Array[Double], scratch: Array[Double]): Unit = {
+      val gn = gnTab.get(java.lang.Double.doubleToLongBits(w))
+      var d = 0
+      while (d < k) { acc(aOff + d) += gn(d) * w; d += 1 }
     }
-    val out = state.zipPartitions(g.verts, preservesPartitioning = true) { (sIt, vIt) =>
-      Iterator.single(VecBlock(vIt.next().ids, k, sIt.next()))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    state.unpersist(blocking = false)
-    out
+  }
+
+  /** Iterate pass (`LDAProgram`): 3-op; offsets pick α for documents and η
+    * for terms by the id threshold (the reference's `LDA.cpp:276-285` type
+    * rule); globals = post-superstep topic totals + V(η−1). REPLACE apply. */
+  private final class LdaKernel(k: Int, alpha: Double, eta: Double, termMinId: Long)
+      extends VecKernel(k) {
+    def edge(src: Array[Double], sOff: Int, srcId: Long, w: Double,
+             recv: Array[Double], dOff: Int, recvId: Long,
+             acc: Array[Double], aOff: Int,
+             globals: Array[Double], scratch: Array[Double]): Unit = {
+      val my = if (recvId >= termMinId) eta else alpha
+      val oth = if (srcId >= termMinId) eta else alpha
+      var gs = 0.0
+      var d = 0
+      while (d < k) {
+        // column-engine order: ((recv+my)−1)·((msg+oth)−1)/g, left-fold sum
+        val gamma = ((recv(dOff + d) + my) - 1.0) *
+                    ((src(sOff + d) + oth) - 1.0) / globals(d)
+        scratch(d) = gamma
+        gs += gamma
+        d += 1
+      }
+      d = 0
+      while (d < k) { acc(aOff + d) += (scratch(d) / gs) * w; d += 1 }
+    }
+    // applyRecv default: REPLACE with the accumulated topic counts
+  }
+
+  /**
+   * LDA on the CSR path — init + `iterations` supersteps with the global
+   * topic vector refreshed before each (the reference's do_every_iteration).
+   * `g` must be the BIDIRECTIONAL doc-term graph (weighted = token counts);
+   * term vertices are ids ≥ `termMinId`. `gammaInit(weightAsLong, i)` seeds
+   * the init gammas — pass `graft.algos.Sgd.md5InitScalar` to match the
+   * column engine's `Lda.gamma0Md5` (same "value:i" md5 derivation).
+   */
+  def lda(g: PrGraph, k: Int = 20, iterations: Int = 10,
+          alpha: Double = 1.0, eta: Double = 5.0, termMinId: Long,
+          gammaInit: (Long, Int) => Double): RDD[VecBlock] = {
+    require(g.weighted,
+      "lda needs per-edge token counts: build the graph with weighted = true")
+    // distinct edge values → normalized gamma table (tiny: values are counts)
+    val wBits = g.csr.mapPartitions { it =>
+      val blk = it.next()
+      val s = new java.util.HashSet[Long]()
+      if (blk.edgeW != null) {
+        var tp = 0
+        while (tp < blk.edgeW.length) {
+          val ws = blk.edgeW(tp)
+          if (ws != null) { var e = 0; while (e < ws.length) { s.add(java.lang.Double.doubleToLongBits(ws(e))); e += 1 } }
+          tp += 1
+        }
+        var e = 0
+        while (e < blk.hotEdgeW.length) { s.add(java.lang.Double.doubleToLongBits(blk.hotEdgeW(e))); e += 1 }
+      }
+      Iterator.single(s)
+    }.reduce { (a, b) => a.addAll(b); a }
+    val gnTab = new java.util.HashMap[Long, Array[Double]]()
+    wBits.forEach { bits =>
+      val wl = java.lang.Double.longBitsToDouble(bits).toLong
+      val gsRaw = Array.tabulate(k)(i => gammaInit(wl, i))
+      val gsum = gsRaw.sum
+      gnTab.put(bits, gsRaw.map(_ / gsum))
+    }
+    // V = vocabulary size (count of term vertices) — fixed over the run
+    val v = g.verts.map(vm => vm.ids.count(_ >= termMinId).toLong).sum().toLong
+    val tMin = termMinId
+    // global topic vector: Σ over term vertices of their K-counts
+    def globalN(state: RDD[Array[Double]]): Array[Double] =
+      state.zipPartitions(g.verts) { (sIt, vIt) =>
+        val st = sIt.next(); val vm = vIt.next()
+        val acc = new Array[Double](k)
+        var i = 0
+        while (i < vm.ids.length) {
+          if (vm.ids(i) >= tMin) {
+            var d = 0
+            while (d < k) { acc(d) += st(i * k + d); d += 1 }
+          }
+          i += 1
+        }
+        Iterator.single(acc)
+      }.reduce { (a, b) => var d = 0; while (d < k) { a(d) += b(d); d += 1 }; a }
+
+    val zeros = initState(g, k, (_, _) => 0.0).persist(StorageLevel.MEMORY_AND_DISK)
+    zeros.count()
+    val inited = drive(g, zeros, new LdaInitKernel(k, gnTab), 1)
+    val kern = new LdaKernel(k, alpha, eta, termMinId)
+    val done = drive(g, inited, kern, iterations,
+      globalsFn = st => globalN(st).map(_ + v * (eta - 1.0)))
+    toBlocks(g, done, k)
   }
 
   /** Deterministic bipartite rating fixture for benchmarks: `nUsers` users,

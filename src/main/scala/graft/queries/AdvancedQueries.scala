@@ -105,6 +105,22 @@ object AdvancedQueries {
         .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
     }),
 
+    // The SAME LDA program on the CSR 3-op vector kernel (init pass + 2
+    // iterate passes with the per-superstep global-topic refresh); shares
+    // g_lda's oracle — ⊕ fold order is the only divergence, absorbed by
+    // the 4-decimal rounding (engine/VectorSuperstep.scala).
+    "g_lda_csr" -> ((s, dir) => {
+      val (g, _) = docTermGraph(s, dir)
+      val bidir = g.edges.union(
+        g.edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      val pg = graft.engine.GatherScatter.build(LinkGraph(bidir), 8, weighted = true)
+      val blocks = graft.engine.VectorSuperstep.lda(pg, k = Lda.K, iterations = 2,
+        termMinId = 1000000L, gammaInit = Sgd.md5InitScalar)
+      graft.engine.VectorSuperstep.toDF(s, blocks)
+        .select(col("id"), posexplode(col("lv")).as(Seq("k", "v")))
+        .select(col("id"), col("k"), round(col("v") + 1e-9, 4).as("v"))
+    }),
+
     // LDA top-words report (`/root/reference/src/LDA.cpp:344-374`, the
     // commented-out print_results): top-5 word ids per topic by topic count.
     // Ties break on the ROUNDED count then word id so both engines agree.
@@ -278,6 +294,9 @@ object AdvancedQueries {
     "g_sgd_csr" -> sgdOracle,
 
     "g_lda" -> (ldaBase + "\nSELECT id, k, round(n + 1e-9, 4) AS v FROM s2"),
+
+    // same oracle: the CSR vector kernel replays the identical program
+    "g_lda_csr" -> (ldaBase + "\nSELECT id, k, round(n + 1e-9, 4) AS v FROM s2"),
 
     "g_lda_topwords" -> (ldaBase +
       """
