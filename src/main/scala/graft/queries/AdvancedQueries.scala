@@ -58,6 +58,15 @@ object AdvancedQueries {
     // Incremental PageRank to convergence on the bucket chains — a chain
     // position k converges to exactly 1 - 0.7^(k+1), the closed form the
     // oracle replays.
+    // the same incremental program on the CSR path's per-vertex sparse
+    // frontier (engine/DeltaPrCsr.scala); same closed-form oracle
+    "g_deltapr_csr" -> ((s, dir) => {
+      val built = graft.engine.GatherScatter.build(bucketGraph(s, dir), 8)
+      val (ranks, _) = graft.engine.DeltaPrCsr.run(built)
+      graft.engine.GatherScatter.toDF(s, ranks)
+        .select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))
+    }),
+
     "g_deltapr" -> ((s, dir) =>
       DeltaPageRank.run(bucketGraph(s, dir))
         .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))),
@@ -267,6 +276,16 @@ object AdvancedQueries {
 
   val oracleSql: Map[String, String] = Map(
     "g_deltapr" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id,
+        |  round(1 - pow(0.7, rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1) + 1e-9, 6) AS pr
+        |FROM mrn""".stripMargin),
+
+    // same closed-form oracle: the CSR sparse-frontier variant converges to
+    // the identical fixpoint on the bucket chains
+    "g_deltapr_csr" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
