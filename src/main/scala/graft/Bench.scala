@@ -372,6 +372,11 @@ object Bench {
     (swept, spark.sparkContext.getPersistentRDDs.size)
   }
 
+  /** Wall-clock phase marker on stderr — never reaches the driver's stdout
+    * tail; lets a reader attribute bench wall time per phase. */
+  private def phase(name: String): Unit =
+    System.err.println(s"[bench-phase] ${System.currentTimeMillis() / 1000} $name")
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -399,6 +404,7 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val edgePath = s"$tmp/edges.parquet"
     val scalePath = s"$tmp/edges-scale.parquet"
+    phase("gen+snapshots")
     val gen = session(cpus)
     Transcripts.edges(Transcripts.vertices(Transcripts.synthesize(gen, convs)))
       .write.mode("overwrite").parquet(edgePath)
@@ -429,6 +435,7 @@ object Bench {
     // best-of is taken per leg, so one of this sandbox's multi-minute
     // host-noise windows cannot poison a single leg and fabricate an
     // efficiency number.
+    phase("scaling_1x1_vs_4x1")
     var legC1: Option[Leg] = None; var legC4: Option[Leg] = None
     for (_ <- 1 to 2) {
       val l1 = clusterLeg(1, 1, 10240, snapPair, iters = 10, reps = 2)
@@ -448,6 +455,7 @@ object Bench {
     // with scaling_threads (4x cores, one JVM, ~1.0) this is the
     // decomposition of the north rule's N->4N executor axis that this
     // single-host sandbox can measure without DRAM confounding.
+    phase("scaling_fixed_cores")
     var legF2: Option[Leg] = None; var legF8: Option[Leg] = None
     for (_ <- 1 to 2) {
       val l2 = clusterLeg(2, 4, 6144, snapColo, iters = 10, reps = 2)
@@ -463,6 +471,7 @@ object Bench {
     // two-parallelism-level evidence. One (pre-touched) JVM, so this pair is
     // immune to the executor-JVM variance the cluster pair is exposed to on
     // this shared host; interleaved rounds all the same.
+    phase("scaling_threads")
     var legT1: Option[Leg] = None; var legT4: Option[Leg] = None
     for (_ <- 1 to 2) {
       val l1 = threadLeg(1, snapPair, iters = 10, reps = 2)
@@ -476,6 +485,7 @@ object Bench {
     // adversarial partitioning: pure vertex hash — every edge's gather
     // target is a uniformly random partition (worst-case cut); cross-JVM
     // bytes here are the full exchange, so this pair prices the cut itself
+    phase("scaling_hash+ct+iso+8_32")
     val h1 = clusterLeg(1, 4, 10240, snapHash, iters = 5, reps = 2)
     val h4 = clusterLeg(4, 4, 6144, snapHash, iters = 5, reps = 2)
     val effH = (h1.best / h4.best) / 4.0
@@ -494,6 +504,7 @@ object Bench {
     val eff832 = (d8.best / d32.best) / (32.0 / 8.0)
 
     // ---- headline throughput + column engine + convergence, local[cpus] ----
+    phase("headline_local")
     val s4N = session(cpus)
     val head = fastBench(s4N, edgePath, iters = 10, warmIters = 2, reps = 3)
     val sql = sqlBench(s4N, edgePath, iters = 5, warmIters = 2, reps = 3)
@@ -501,12 +512,18 @@ object Bench {
     val (lpLeg, lpIters) = lpBench(s4N, edgePath, iters = 5, reps = 2)
     val triBlocks = sys.env.getOrElse("SPARK_GRAFT_TRI_BLOCKS", "40000").toLong
     val (triCsrW, triColW, triEdges, triTotal) = triangleBench(s4N, triBlocks, 24, reps = 2)
-    val sgdUsers = sys.env.getOrElse("SPARK_GRAFT_SGD_USERS", "400000").toLong
+    // vector-kernel legs: sized so the whole bench stays inside the round
+    // budget — the COLUMN comparison legs dominate (K=20 arrays through
+    // route+⊕ cost minutes per superstep at 400k-user scale; measured)
+    phase("sgd_vec")
+    val sgdUsers = sys.env.getOrElse("SPARK_GRAFT_SGD_USERS", "200000").toLong
     val (sgdCsrLeg, sgdColLeg) = sgdBench(s4N, sgdUsers, 20, iters = 5, reps = 2)
-    val ldaDocs = sys.env.getOrElse("SPARK_GRAFT_LDA_DOCS", "400000").toLong
+    phase("lda_vec")
+    val ldaDocs = sys.env.getOrElse("SPARK_GRAFT_LDA_DOCS", "120000").toLong
     val (ldaCsrLeg, ldaColLeg) = ldaBench(s4N, ldaDocs, 20, iters = 4, reps = 2)
 
     // iterations to convergence (GraphMat stop rule: no vertex moves > 1e-5)
+    phase("convergence")
     val gcGraph = LinkGraph(s4N.read.parquet(edgePath))
     val gConv = GatherScatter.build(gcGraph, 32)
     val tConv = System.nanoTime()
@@ -528,6 +545,7 @@ object Bench {
     sweepCaches(s4N)
 
     // ---- the full catalog, per-query status, no swallowed errors ----
+    phase("catalog")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var swept = 0
     var leaks = 0

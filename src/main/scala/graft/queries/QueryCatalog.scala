@@ -178,7 +178,15 @@ object QueryCatalog {
       graft.engine.TriangleCsr.perVertex(richGraph(s, dir), 8)),
     "g_toposort" -> ((s, dir) =>
       // bucket chains are disjoint paths: Kahn order == position in the path
-      TopologicalSort.run(bucketGraph(s, dir)).state.select(col("id"), col("order")))
+      TopologicalSort.run(bucketGraph(s, dir)).state.select(col("id"), col("order"))),
+    // Kahn peel on the CSR per-vertex sparse frontier
+    // (engine/ToposortCsr.scala); same oracle as g_toposort
+    "g_toposort_csr" -> ((s, dir) => {
+      val built = graft.engine.GatherScatter.build(bucketGraph(s, dir), 8)
+      val (orders, _) = graft.engine.ToposortCsr.run(built)
+      graft.engine.GatherScatter.toDF(s, orders)
+        .select(col("id"), col("pagerank").cast("long").as("order"))
+    })
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -312,6 +320,11 @@ object QueryCatalog {
     "g_sssp" -> ssspOracle,
     "g_sssp_csr" -> ssspOracle,
     "g_toposort" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id, rn - min(rn) OVER (PARTITION BY user_id, bkt) AS "order" FROM mrn""".stripMargin),
+    "g_toposort_csr" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
