@@ -442,6 +442,25 @@ object Bench {
       println(line)
     }
 
+    // a KILLED bench never reaches its own cleanup, and each run parks
+    // ~10-12 GB of graphs+snapshots in /tmp — sweep predecessors' leftovers
+    // first or repeated runs fill the disk (measured: a run died ENOSPC on
+    // exactly this)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Exception => })
+      }
+    }
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(tmpRoot).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft-bench"))
+        .foreach(rmTree)
+    } catch { case _: Exception => }
+
     // synthesize the deterministic transcript graphs ONCE and prebuild the
     // CSR snapshots each cluster leg loads (GatherScatter.save/load) — legs
     // time supersteps under executor isolation, never 1-core ingest
@@ -667,5 +686,6 @@ object Bench {
       "8 vs 32 cores as executor JVMs, co-located 64-partition scale snapshot (full occupancy, zero cross-JVM exchange): the DRAM-bandwidth-knee diagnostic - one machine cannot add memory bandwidth per executor, a real cluster does")
     lineParts("scaling_8_32") = cPair(d8, d32, eff832)
     emitDone("cluster_legs")
+    rmTree(java.nio.file.Paths.get(tmp))
   }
 }
