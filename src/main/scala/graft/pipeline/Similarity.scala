@@ -215,12 +215,52 @@ object Similarity {
       .select("id", "vec", "cid")
   }
 
-  /** IVF ANN top-k: probe the `nProbe` best centroid lists per query (same
-    * integer-dot ranking as assignment), exact cosine re-rank within the
-    * probed lists only — never the whole corpus. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              c: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = ivfCentroids(corpus, c)
+  // ---------------- k-means centroid training (Lloyd, deterministic) --------
+  //
+  // Closes the "swap ivfCentroids for a trained set" seam: a deterministic,
+  // engine-replayable Lloyd refinement of the md5-sample seeds. Every step is
+  // order-free by construction so DuckDB replays it bit-for-bit: assignment
+  // ranks by the same EXACT integer-quantized dot as ivfAssign, and the
+  // update is the per-dimension MEAN of the members' 1e-3-quantized values —
+  // integer sums carried in doubles (exact far past any realistic cluster:
+  // 2^53/10^4 ≈ 10^12 members before the sum could round), divided and
+  // re-rounded to 1e-6 with the codebase's standard +1e-9 tie nudge. Empty
+  // clusters keep their previous centroid, so k never shrinks. 100 TB shape =
+  // k-means||'s refinement loop: centroids broadcast (C ≪ N), one narrow
+  // assignment pass per iteration, the update ONE vector_sum shuffle with C
+  // groups (map-side partials keep it an all-reduce, not a data move).
+
+  /** `iters` Lloyd iterations from the md5-sample seeds → (cid, cvec) with
+    * cvec rounded to 1e-6. cid stays the seed row's corpus id. */
+  def kmeansCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
+    val qv = corpus.select(col("id"), quantize(col("vec")).as("_qv"))
+    var cent = ivfCentroids(corpus, c)
+    for (_ <- 1 to iters) {
+      val scored = qv.crossJoin(broadcast(
+          cent.select(col("cid"), quantize(col("cvec")).as("_qc"))))
+        .select(col("id"), col("_qv"), col("cid"),
+          quantizedDot(col("_qv"), col("_qc")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("s").desc, col("cid"))
+      val assigned = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("cid"), col("_qv"))
+      val upd = assigned.groupBy("cid")
+        .agg(count(lit(1)).as("_n"),
+          graft.functions.VectorSum.vector_sum(col("_qv").cast("array<double>")).as("_sx"))
+        .select(col("cid"),
+          transform(col("_sx"), x => round(x / (col("_n") * lit(1000.0)) + lit(1e-9), 6)).as("_new"))
+      cent = cent.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("_new"), col("cvec")).as("cvec"))
+    }
+    cent
+  }
+
+  /** IVF ANN top-k over an EXPLICIT centroid table (e.g. `kmeansCentroids`):
+    * probe the `nProbe` best centroid lists per query (same integer-dot
+    * ranking as assignment), exact cosine re-rank within the probed lists
+    * only — never the whole corpus. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  cent: DataFrame, nProbe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, cent)
     val probes = queries.withColumn("_qv", quantize(col("vec")))
       .crossJoin(broadcast(cent.withColumn("_qc", quantize(col("cvec")))))
@@ -238,6 +278,11 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
   }
+
+  /** IVF ANN top-k with untrained (md5-sample) centroids. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              c: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(queries, corpus, k, ivfCentroids(corpus, c), nProbe)
 
   /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold on the
     * rounded value). Brute-force over a sampled/bucketed pair set. */

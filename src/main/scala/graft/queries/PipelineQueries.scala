@@ -87,6 +87,16 @@ object PipelineQueries {
       Similarity.ivfTopK(q, all, 5, c = 8, nProbe = 2)
     }),
 
+    // IVF with TRAINED centroids: two deterministic Lloyd iterations from the
+    // md5-sample seeds, then the same probe/re-rank as s_ivf_topk — the full
+    // index-build + search story behind one gate
+    "s_kmeans_ivf" -> ((s, dir) => {
+      val all = vecs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = all.filter(col("id") % 100 === 0)
+      Similarity.ivfTopKWith(q, all, 5,
+        Similarity.kmeansCentroids(all, c = 8, iters = 2), nProbe = 2)
+    }),
+
     "t_lang" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -272,6 +282,60 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // two unrolled Lloyd iterations (assignment by exact integer-quantized
+    // dot; update = mean of quantized members, re-rounded to 1e-6), then the
+    // identical IVF probe/re-rank as s_ivf_topk
+    "s_kmeans_ivf" -> {
+      def lloyd(t: Int): String = {
+        val prev = if (t == 1) "cent0" else s"cent${t - 1}"
+        s"""s$t AS (
+           |  SELECT qv.id, c.cid,
+           |    CAST(list_dot_product(qv.q, list_transform(c.ce, x -> round(x * 1000))) AS BIGINT) AS s
+           |  FROM qv CROSS JOIN $prev c),
+           |a$t AS (
+           |  SELECT id, cid FROM (
+           |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk FROM s$t)
+           |  WHERE rk = 1),
+           |u$t AS (
+           |  SELECT a.cid, g.i, sum(qv.q[g.i]) AS sx, count(*) AS n
+           |  FROM a$t a JOIN qv USING (id),
+           |       LATERAL (SELECT unnest(generate_series(1, len(qv.q))) AS i) g
+           |  GROUP BY 1, 2),
+           |cent$t AS (
+           |  SELECT c.cid, coalesce(nu.ce, c.ce) AS ce
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT cid, list(round(sx / (n * 1000.0) + 1e-9, 6) ORDER BY i) AS ce
+           |    FROM u$t GROUP BY cid) nu USING (cid)),
+           |""".stripMargin
+      }
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |qv AS (SELECT id, list_transform(e, x -> round(x * 1000)) AS q FROM v),
+         |cent0 AS (SELECT id AS cid, e AS ce FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+         |${lloyd(1)}${lloyd(2)}qd AS (
+         |  SELECT qv.id, c.cid,
+         |    CAST(list_dot_product(qv.q, list_transform(c.ce, x -> round(x * 1000))) AS BIGINT) AS s
+         |  FROM qv CROSS JOIN cent2 c),
+         |assign AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk FROM qd)
+         |  WHERE rk = 1),
+         |probe AS (
+         |  SELECT id AS query_id, cid FROM (
+         |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk
+         |    FROM qd WHERE id % 100 = 0)
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.id AS neighbor_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_cosine_similarity(q.e, n.e) + 1e-9, 6) AS cos
+         |  FROM cand c JOIN v q ON q.id = c.query_id JOIN v n ON n.id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
+    },
 
     "t_lang" -> {
       val occ = (m: String) =>

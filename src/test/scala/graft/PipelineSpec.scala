@@ -124,6 +124,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes < 500, s"buckets should partition the corpus, max=$sizes")
   }
 
+  test("kmeans IVF: k preserved, deterministic, trained recall >= untrained recall - 0.1") {
+    val vecs = s.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent = Similarity.kmeansCentroids(vecs, 8, 2).cache()
+    try {
+      val rows = cent.collect()
+      assert(rows.length === 8)
+      val again = Similarity.kmeansCentroids(vecs, 8, 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap === again)
+
+      val queries = vecs.filter(col("id") % 25 === 0) // 20 queries
+      val brute = Similarity.bruteTopK(queries, vecs, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(res: Set[(Long, Long)]) = (brute & res).size.toDouble / brute.size
+      val trained = recall(Similarity.ivfTopKWith(queries, vecs, 5, cent, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val seeded = recall(Similarity.ivfTopK(queries, vecs, 5, c = 8, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // Lloyd shouldn't hurt: allow small jitter, require a floor
+      assert(trained >= seeded - 0.1, s"trained=$trained seeded=$seeded")
+      assert(trained >= 0.3, s"trained recall@5 = $trained")
+    } finally cent.unpersist()
+  }
+
   test("banded LSH near-dup finds planted parallel vectors without an all-pairs join") {
     val base = Array.tabulate(16)(i => (math.sin(i * 1.7) * 0.5).toFloat)
     val near = base.map(x => x * 2.0f) // parallel -> cos 1.0
