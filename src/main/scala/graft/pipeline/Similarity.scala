@@ -201,18 +201,27 @@ object Similarity {
     corpus.orderBy(md5(col("id").cast("string")), col("id")).limit(c)
       .select(col("id").as("cid"), col("vec").as("cvec"))
 
+  /** `max(struct(s, -cid))` — the argmax (highest score, ties → LOWEST cid)
+    * as a partial-aggregable fold over exact integers. The row_number-window
+    * form of this shuffles all N×C scored rows (window functions have no
+    * map-side combine); max() collapses each corpus partition's C rows per
+    * id to one BEFORE the exchange, so the shuffle is N rows regardless of
+    * the centroid count. */
+  private def bestCentroid(s: Column, cid: Column): Column =
+    max(struct(s.as("s"), (-cid).as("nc")))
+
   /** (id, vec, cid): each corpus vector assigned to its argmax-quantized-dot
-    * centroid (ties → lowest cid). One broadcast pass; no shuffle of the
-    * corpus beyond the per-id window partials. */
+    * centroid (ties → lowest cid). One broadcast pass; the only shuffle is
+    * N pre-aggregated rows (see [[bestCentroid]]). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = corpus.withColumn("_qv", quantize(col("vec")))
       .crossJoin(broadcast(centroids.withColumn("_qc", quantize(col("cvec")))))
       .select(col("id"), col("vec"), col("cid"),
         quantizedDot(col("_qv"), col("_qc")).as("s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("s").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select("id", "vec", "cid")
+    scored.groupBy("id")
+      .agg(bestCentroid(col("s"), col("cid")).as("_m"),
+        first(col("vec")).as("vec")) // vec is constant per id
+      .select(col("id"), col("vec"), (-col("_m.nc")).as("cid"))
   }
 
   // ---------------- k-means centroid training (Lloyd, deterministic) --------
@@ -240,10 +249,10 @@ object Similarity {
           cent.select(col("cid"), quantize(col("cvec")).as("_qc"))))
         .select(col("id"), col("_qv"), col("cid"),
           quantizedDot(col("_qv"), col("_qc")).as("s"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("s").desc, col("cid"))
-      val assigned = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1).select(col("cid"), col("_qv"))
+      val assigned = scored.groupBy("id")
+        .agg(bestCentroid(col("s"), col("cid")).as("_m"),
+          first(col("_qv")).as("_qv")) // _qv is constant per id
+        .select((-col("_m.nc")).as("cid"), col("_qv"))
       val upd = assigned.groupBy("cid")
         .agg(count(lit(1)).as("_n"),
           graft.functions.VectorSum.vector_sum(col("_qv").cast("array<double>")).as("_sx"))
