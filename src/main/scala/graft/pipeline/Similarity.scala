@@ -170,10 +170,10 @@ object Similarity {
   //
   // The other classic ANN scale path next to LSH banding: partition the
   // corpus into C centroid lists, search only the nProbe nearest lists per
-  // query. Centroid SELECTION here is a deterministic md5-ordered sample (at
-  // 100 TB you'd k-means|| these; selection is orthogonal to the index/search
-  // plumbing, which is what this implements — swap `ivfCentroids` for a
-  // trained set and nothing else changes). Assignment and probing rank by
+  // query. Centroid SELECTION is pluggable: `ivfCentroids` is a deterministic
+  // md5-ordered sample, [[kmeansParSeeds]] below is the scalable k-means||
+  // seeding, and [[kmeansCentroids]] Lloyd-refines either — swap the centroid
+  // table and nothing else changes. Assignment and probing rank by
   // EXACT integer-quantized dot products (1e-3 quantization, the same trick
   // as the banded LSH above), so list membership is order-independent and
   // bit-identical in any engine; only the final re-rank uses true cosine.
@@ -239,11 +239,13 @@ object Similarity {
   // assignment pass per iteration, the update ONE vector_sum shuffle with C
   // groups (map-side partials keep it an all-reduce, not a data move).
 
-  /** `iters` Lloyd iterations from the md5-sample seeds → (cid, cvec) with
-    * cvec rounded to 1e-6. cid stays the seed row's corpus id. */
-  def kmeansCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
+  /** `iters` Lloyd iterations from the md5-sample seeds (or an explicit
+    * `seeds` table) → (cid, cvec) with cvec rounded to 1e-6. cid stays the
+    * seed row's corpus id. */
+  def kmeansCentroids(corpus: DataFrame, c: Int, iters: Int,
+                      seeds: DataFrame = null): DataFrame = {
     val qv = corpus.select(col("id"), quantize(col("vec")).as("_qv"))
-    var cent = ivfCentroids(corpus, c)
+    var cent = if (seeds == null) ivfCentroids(corpus, c) else seeds
     for (_ <- 1 to iters) {
       val scored = qv.crossJoin(broadcast(
           cent.select(col("cid"), quantize(col("cvec")).as("_qc"))))
@@ -262,6 +264,78 @@ object Similarity {
         .select(col("cid"), coalesce(col("_new"), col("cvec")).as("cvec"))
     }
     cent
+  }
+
+  /** Exact integer squared L2 distance of two ALREADY-quantized vectors
+    * (order-free: every term is an exact long). */
+  def quantSqDist(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  private def md5HexStr(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  // ---------------- k-means|| seeding (Bahmani et al., VLDB'12) -------------
+  //
+  // The scalable seeding the ivfCentroids comment promises: instead of one
+  // md5-ordered sample, oversample l·rounds candidates weighted by their
+  // squared distance to the current seed set, then keep the C heaviest
+  // candidates (by assigned-point count). Deterministic and engine-replayable
+  // end to end: distances are exact integer quantized L2 (so min/argmin can't
+  // flip cross-engine), the per-round sampling uses the codebase's
+  // md5-first-8-hex-digits uniform (u·total < l·cost — both sides exactly
+  // rounded doubles of exact integers), and ties break on (weight desc,
+  // md5(cid), cid). 100 TB shape: seeds stay driver-side K-row lists folded
+  // in as broadcast literals, so each round is ONE narrow codegen'd pass over
+  // the corpus (no shuffle at all — the cost fold is a scalar aggregate) and
+  // the weighting pass shuffles only pre-aggregated (candidate, count) rows.
+  // The exact-integer total requires N·d2max < 2^63 (≈3·10^10 unit-norm
+  // 64-dim rows); past that, sum per-partition into decimals — the driver
+  // totals stay exact either way via the decimal(38,0) cast used here.
+
+  /** k-means|| candidate seeds → the `c` heaviest as (cid, cvec). `cid` is
+    * the seed row's corpus id; `cvec` its (double-cast) vector. Compose with
+    * [[kmeansCentroids]]`(seeds = …)` for Lloyd refinement and
+    * [[ivfTopKWith]] for search. */
+  def kmeansParSeeds(corpus: DataFrame, c: Int, rounds: Int = 2,
+                     l: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types.DecimalType
+    val qv = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"),
+      quantize(col("vec")).as("_qv"))
+    // round 0: the single min-md5 corpus row (ivfCentroids' rule at c = 1)
+    var seeds: Seq[(Long, Seq[Double], Seq[Long])] =
+      qv.orderBy(md5(col("id").cast("string")), col("id")).limit(1).collect()
+        .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Long](2)))
+    for (t <- 1 to rounds) {
+      val seedQ = typedlit(seeds.map(_._3))
+      val cost = array_min(transform(seedQ, sv => quantSqDist(col("_qv"), sv)))
+      val costed = qv.withColumn("_cost", cost)
+      val totalD = costed.agg(sum(col("_cost").cast(DecimalType(38, 0))))
+        .head().getDecimal(0).doubleValue
+      // u(t, id) — uniform [0,1) from md5("t:id"); select iff u·total < l·cost
+      val u = conv(substring(md5(concat(lit(s"$t:"), col("id").cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val sel = costed
+        .filter(u * lit(totalD) < lit(l.toDouble) * col("_cost").cast("double"))
+        .select(col("id"), col("vec"), col("_qv")).collect()
+      seeds = seeds ++ sel.map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Long](2)))
+    }
+    // weight candidates by assigned-point count (argmin d2, ties → lowest
+    // cid: candidates fold in cid-ascending, array_position takes the FIRST
+    // minimum), keep the c heaviest (ties → md5(cid), cid — replayable)
+    val cand = seeds.sortBy(_._1)
+    val candQ = typedlit(cand.map(_._3))
+    val d2s = transform(candQ, sv => quantSqDist(col("_qv"), sv))
+    val weights = qv.select(array_position(d2s, array_min(d2s)).as("_ci"))
+      .groupBy("_ci").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val chosen = cand.zipWithIndex.map { case ((cid, cvec, _), i) =>
+      (cid, cvec, weights.getOrElse(i + 1, 0L))
+    }.sortBy { case (cid, _, w) => (-w, md5HexStr(cid.toString), cid) }.take(c)
+    import spark.implicits._
+    chosen.map { case (cid, cvec, _) => (cid, cvec) }.toDF("cid", "cvec")
   }
 
   /** IVF ANN top-k over an EXPLICIT centroid table (e.g. `kmeansCentroids`):

@@ -97,6 +97,18 @@ object PipelineQueries {
         Similarity.kmeansCentroids(all, c = 8, iters = 2), nProbe = 2)
     }),
 
+    // the SCALABLE seeding in front of the trained index: k-means||
+    // distance-weighted oversampling (2 rounds, l=8, md5-replayable
+    // selection), heaviest-8 candidates, one Lloyd refinement, then the same
+    // IVF probe/re-rank — seeding + training + search behind one gate
+    "s_kmeanspar_ivf" -> ((s, dir) => {
+      val all = vecs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = all.filter(col("id") % 100 === 0)
+      val seeds = Similarity.kmeansParSeeds(all, c = 8, rounds = 2, l = 8)
+      Similarity.ivfTopKWith(q, all, 5,
+        Similarity.kmeansCentroids(all, c = 8, iters = 1, seeds = seeds), nProbe = 2)
+    }),
+
     "t_lang" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -332,6 +344,98 @@ object PipelineQueries {
          |  SELECT c.query_id, c.neighbor_id,
          |         round(list_cosine_similarity(q.e, n.e) + 1e-9, 6) AS cos
          |  FROM cand c JOIN v q ON q.id = c.query_id JOIN v n ON n.id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
+    },
+
+    // k-means|| seeding replayed exactly: 2 distance-weighted oversampling
+    // rounds (u(t,id)·total < l·cost on exact-integer squared L2), candidates
+    // weighted by argmin assignment (ties → lowest cid), heaviest 8 kept
+    // (ties → md5(cid), cid), one Lloyd iteration, then the identical IVF
+    // probe/re-rank as s_kmeans_ivf
+    "s_kmeanspar_ivf" -> {
+      // first 8 md5 hex digits → uniform [0,1) — same machinery as the
+      // SGD/LDA oracles (exact integer terms, order-free)
+      def hexU(hexExpr: String): String =
+        (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}.0")
+          .mkString("(", " + ", ") / 4294967296.0")
+      // exact integer squared L2 between quantized vectors a and b
+      def d2(a: String, b: String): String =
+        s"CAST(list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b) AS BIGINT)"
+      // one oversampling round: cost vs seeds$p, exact total, md5 selection
+      def round(t: Int): String = {
+        val p = t - 1
+        s"""c$t AS (
+           |  SELECT qv.id, min(${d2("qv.q", "s.sq")}) AS cost
+           |  FROM qv CROSS JOIN seeds${p}q s GROUP BY 1),
+           |t$t AS (SELECT CAST(sum(CAST(cost AS HUGEINT)) AS DOUBLE) AS tot FROM c$t),
+           |sel$t AS (
+           |  SELECT c.id FROM c$t c, t$t
+           |  WHERE ${hexU(s"md5('$t:' || c.id)")} * t$t.tot < 8.0 * CAST(c.cost AS DOUBLE)),
+           |seeds$t AS (SELECT cid FROM seeds$p UNION ALL SELECT id AS cid FROM sel$t),
+           |seeds${t}q AS (SELECT s.cid, qv.q AS sq FROM seeds$t s JOIN qv ON qv.id = s.cid),
+           |""".stripMargin
+      }
+      // one Lloyd iteration (same fragment shape as the s_kmeans_ivf twin)
+      def lloyd(t: Int): String = {
+        val prev = s"cent${t - 1}"
+        s"""s$t AS (
+           |  SELECT qv.id, c.cid,
+           |    CAST(list_dot_product(qv.q, list_transform(c.ce, x -> round(x * 1000))) AS BIGINT) AS s
+           |  FROM qv CROSS JOIN $prev c),
+           |a$t AS (
+           |  SELECT id, cid FROM (
+           |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk FROM s$t)
+           |  WHERE rk = 1),
+           |u$t AS (
+           |  SELECT a.cid, g.i, sum(qv.q[g.i]) AS sx, count(*) AS n
+           |  FROM a$t a JOIN qv USING (id),
+           |       LATERAL (SELECT unnest(generate_series(1, len(qv.q))) AS i) g
+           |  GROUP BY 1, 2),
+           |cent$t AS (
+           |  SELECT c.cid, coalesce(nu.ce, c.ce) AS ce
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT cid, list(round(sx / (n * 1000.0) + 1e-9, 6) ORDER BY i) AS ce
+           |    FROM u$t GROUP BY cid) nu USING (cid)),
+           |""".stripMargin
+      }
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |qv AS (SELECT id, e, list_transform(e, x -> round(x * 1000)) AS q FROM v),
+         |seeds0 AS (SELECT id AS cid FROM qv ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+         |seeds0q AS (SELECT s.cid, qv.q AS sq FROM seeds0 s JOIN qv ON qv.id = s.cid),
+         |${round(1)}${round(2)}cand AS (
+         |  SELECT s.cid, qv.q AS sq, qv.e AS se FROM seeds2 s JOIN qv ON qv.id = s.cid),
+         |asg AS (
+         |  SELECT id, cid FROM (
+         |    SELECT qv.id, c.cid,
+         |      row_number() OVER (PARTITION BY qv.id ORDER BY ${d2("qv.q", "c.sq")} ASC, c.cid ASC) AS rk
+         |    FROM qv CROSS JOIN cand c) WHERE rk = 1),
+         |wt AS (SELECT cid, count(*) AS w FROM asg GROUP BY 1),
+         |cent0 AS (
+         |  SELECT c.cid, c.se AS ce FROM cand c LEFT JOIN wt USING (cid)
+         |  ORDER BY coalesce(wt.w, 0) DESC, md5(CAST(c.cid AS VARCHAR)), c.cid LIMIT 8),
+         |${lloyd(1)}qd AS (
+         |  SELECT qv.id, c.cid,
+         |    CAST(list_dot_product(qv.q, list_transform(c.ce, x -> round(x * 1000))) AS BIGINT) AS s
+         |  FROM qv CROSS JOIN cent1 c),
+         |assign AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk FROM qd)
+         |  WHERE rk = 1),
+         |probe AS (
+         |  SELECT id AS query_id, cid FROM (
+         |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk
+         |    FROM qd WHERE id % 100 = 0)
+         |  WHERE rk <= 2),
+         |cnd AS (
+         |  SELECT p.query_id, a.id AS neighbor_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_cosine_similarity(q.e, n.e) + 1e-9, 6) AS cos
+         |  FROM cnd c JOIN v q ON q.id = c.query_id JOIN v n ON n.id = c.neighbor_id)
          |SELECT query_id, neighbor_id, cos, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin

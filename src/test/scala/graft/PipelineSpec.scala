@@ -149,6 +149,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally cent.unpersist()
   }
 
+  test("kmeans|| seeding: c seeds, deterministic, recall floor through the trained index") {
+    val vecs = s.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seeds = Similarity.kmeansParSeeds(vecs, 8, rounds = 2, l = 8)
+    val rows = seeds.collect()
+    assert(rows.length === 8)
+    // deterministic: a second full run lands on the identical seed table
+    val again = Similarity.kmeansParSeeds(vecs, 8, rounds = 2, l = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap === again)
+    // seeded + 1 Lloyd iteration searches as well as the brute baseline floor
+    val cent = Similarity.kmeansCentroids(vecs, 8, 1, seeds = seeds)
+    val queries = vecs.filter(col("id") % 25 === 0)
+    val brute = Similarity.bruteTopK(queries, vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopKWith(queries, vecs, 5, cent, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"kmeans|| trained recall@5 = $recall")
+  }
+
   test("banded LSH near-dup finds planted parallel vectors without an all-pairs join") {
     val base = Array.tabulate(16)(i => (math.sin(i * 1.7) * 0.5).toFloat)
     val near = base.map(x => x * 2.0f) // parallel -> cos 1.0
