@@ -92,6 +92,41 @@ object Dedup {
         sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L)).as("dropped_rows"))
 
+  /**
+   * Near-dup CLUSTERS from candidate pairs: the standard web-scale dedup
+   * composition — LSH candidates form an undirected similarity graph, its
+   * connected components are the duplicate clusters, and each doc's cluster
+   * key is the minimum doc id in its component (the canonical "keeper").
+   * Runs the REAL graph engine (HashMin label propagation,
+   * `graft.algos.ConnectedComponents`) over the pair table; docs with no
+   * candidate pair keep themselves.
+   *
+   * Scale notes (100 TB): the pair table is orders of magnitude smaller than
+   * the corpus (bounded by Σ bucket² over capped LSH buckets), near-dup
+   * components have tiny diameter (most are cliques), so HashMin converges in
+   * 2-3 supersteps; the final join back to `ids` is one hash shuffle. This is
+   * the composition a transitive-dedup pass needs — pairwise keeper-by-min
+   * alone is wrong whenever A~B and B~C but A≁C.
+   *
+   * @param ids   one `id` column: every doc that should appear in the output
+   * @param pairs candidate pairs (a, b) from `lshCandidates` (optionally
+   *              pre-filtered by `jaccardFor` ≥ threshold)
+   * @return (id, cluster) — cluster = min doc id reachable via pairs
+   */
+  def clusters(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val g = graft.core.LinkGraph(
+      pairs.select(col("a").as("src"), col("b").as("dst")),
+      numPartitions = ids.sparkSession.sessionState.conf.numShufflePartitions)
+    val comp = graft.algos.ConnectedComponents.run(g).state
+      .select(col("id"), col("component"))
+    // note: CC runs over g.undirected, whose clustered edge views stay
+    // persisted for the session (same contract as every graph query in the
+    // catalog — Verify/Bench sweep caches between queries)
+    ids.select(col("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+  }
+
   /** Exact n-gram Jaccard for given pairs: |A∩B| / |A∪B| over distinct shingles. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))

@@ -44,6 +44,19 @@ object PipelineQueries {
       Dedup.lshCoverage(Dedup.lshBands(sig, 8, 8), maxBucket = 2)
     }),
 
+    // transitive near-dup clustering: LSH banding → candidate pairs → the
+    // REAL graph engine's connected components → (id, cluster=min doc id in
+    // component); singletons keep themselves. 3-gram shingles / 1-row bands
+    // on the %5 sample give non-trivial structure on this corpus (13
+    // multi-doc clusters + 58 singletons, max cluster 9 — not one blob, not
+    // all singletons). The oracle replays the closure with a recursive CTE.
+    "d_dedup_cluster" -> ((s, dir) => {
+      val sample = docs(s, dir).filter(col("doc_id") % 5 === 0)
+      val sig = Dedup.minHash(Dedup.shingles(sample, col("doc_id"), col("text"), 3), 8)
+      val pairs = Dedup.lshCandidates(Dedup.lshBands(sig, 8, 8), maxBucket = 1000)
+      Dedup.clusters(sample.select(col("doc_id").as("id")), pairs)
+    }),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"), 16)),
 
@@ -180,6 +193,31 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN bsz > 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
         |  CAST(sum(CASE WHEN bsz > 2 THEN bsz ELSE 0 END) AS BIGINT) AS dropped_rows
         |FROM sized""".stripMargin),
+
+    // same LSH front end as the Spark side, then the undirected transitive
+    // closure as a recursive CTE (UNION dedups → terminates); min reachable
+    // id under the undirected closure == min id of the connected component
+    "d_dedup_cluster" -> (shingleSql(5, 3).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, mh AS (
+        |  SELECT doc_id AS id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) hs
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT CAST(floor(h / 1.0) AS INT) AS band, id,
+        |         md5(string_agg(minhash, ',' ORDER BY h)) AS bucket
+        |  FROM mh GROUP BY 1, 2),
+        |sized AS (SELECT band, bucket, id,
+        |                 count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS a, r.id AS b
+        |  FROM sized l JOIN sized r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        |  WHERE l.bsz <= 1000 AND r.bsz <= 1000),
+        |undir AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+        |reach AS (
+        |  SELECT DISTINCT doc_id AS id, doc_id AS comp FROM sample
+        |  UNION
+        |  SELECT u.b AS id, r.comp FROM reach r JOIN undir u ON u.a = r.id)
+        |SELECT id, min(comp) AS cluster FROM reach GROUP BY 1""".stripMargin),
 
     "d_simhash" ->
       """WITH toks AS (

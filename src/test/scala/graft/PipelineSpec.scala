@@ -43,6 +43,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
   }
 
+  test("dedup clusters = transitive closure of candidate pairs (engine CC vs union-find)") {
+    val sh = Dedup.shingles(docs, col("id"), col("text"), 3)
+    val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHash(sh, 8), 8, 8))
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // the planted dups must surface as candidates
+
+    // oracle: union-find over the same pairs
+    val parent = collection.mutable.Map((1L to 5L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (1L to 5L).map(i => i -> find(i)).toMap
+
+    val got = Dedup.clusters(docs.select(col("id")), cand)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the planted structure: 1 and 2 co-cluster with keeper 1; 5 is a singleton
+    assert(got(1L) === 1L && got(2L) === 1L && got(5L) === 5L)
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated docs are not") {
     val sh = Dedup.simHash(docs, col("id"), col("text"), 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
