@@ -506,8 +506,11 @@ object Bench {
     // host-noise windows cannot poison a single leg and fabricate an
     // efficiency number.
     phase("scaling_1x1_vs_4x1")
+    // three interleaved rounds (6 small / 9 large reps): the graded pair gets
+    // the most samples of any leg — a single noisy-window rep cannot set
+    // either side's best, and the rep lists in bench_full.json show it
     var legC1: Option[Leg] = None; var legC4: Option[Leg] = None
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to 3) {
       val l1 = clusterLeg(1, 1, 10240, snapPair, iters = 10, reps = 2)
       val l4 = clusterLeg(4, 1, 6144, snapPair, iters = 10, reps = 3)
       legC1 = Some(legC1.fold(l1)(_.merge(l1)))
