@@ -16,33 +16,95 @@ import graft.engine._
  * touching only the changing frontier.
  */
 object DeltaPageRank {
+  /** The reference inits pagerank=delta=0.3 REGARDLESS of alpha
+    * (`dPR` ctor, `src/IncrementalPageRank.cpp:44-49`); alpha only scales
+    * propagation. The fixpoint is therefore x = 0.3·1 + A·x with
+    * (A·x)_i = (1−α)·Σ_{j→i} x_j/outdeg_j — `initRank` is the additive term
+    * and warmStart's residual must use the SAME constant to land on the same
+    * fixpoint. */
+  private val initRank = 0.3
+  private val eps = 1e-8
+
+  /** The dPR vertex program — shared verbatim by cold `run` and `warmStart`
+    * (only the INITIAL (pagerank, delta, active) differ). */
+  private def spec(alpha: Double): VertexProgramSpec = VertexProgramSpec(
+    direction = Direction.Out,
+    activity = Activity.ActiveOnly,
+    send = fr => fr.select(col("id"),
+      when(col("degree") === 0, 0.0).otherwise(col("delta") / col("degree")).as("msg")),
+    reduce = Reduce.byAggs(sum("msg").as("acc")),
+    apply = (df, _) => {
+      val received = col("acc").isNotNull
+      val d0 = when(abs(col("delta")) > eps, 0.0).otherwise(col("delta"))
+      val d1 = d0 + lit(1.0 - alpha) * col("acc")
+      val newDelta = when(received, d1).otherwise(col("delta"))
+      val newPr = when(received && abs(d1) > eps, col("pagerank") + d1)
+        .otherwise(col("pagerank"))
+      val changed = abs(newPr - col("pagerank")) > eps
+      df.select(col("id"), changed.as("active"),
+        newPr.as("pagerank"), newDelta.as("delta"), col("degree"),
+        changed.as("_changed"))
+    })
+
   def run(graph: LinkGraph, alpha: Double = 0.3,
           cp: Option[CheckpointConfig] = None): RunResult = {
     val deg = Degree.outDegrees(graph)
     val init = graph.vertices
       .join(deg, Seq("id"), "left_outer")
       .select(col("id"), lit(true).as("active"),
-        lit(0.3).as("pagerank"), lit(0.3).as("delta"),
+        lit(initRank).as("pagerank"), lit(initRank).as("delta"),
         coalesce(col("degree"), lit(0L)).as("degree"))
-    val spec = VertexProgramSpec(
-      direction = Direction.Out,
-      activity = Activity.ActiveOnly,
-      send = fr => fr.select(col("id"),
-        when(col("degree") === 0, 0.0).otherwise(col("delta") / col("degree")).as("msg")),
-      reduce = Reduce.byAggs(sum("msg").as("acc")),
-      apply = (df, _) => {
-        val received = col("acc").isNotNull
-        val d0 = when(abs(col("delta")) > 1e-8, 0.0).otherwise(col("delta"))
-        val d1 = d0 + lit(1.0 - alpha) * col("acc")
-        val newDelta = when(received, d1).otherwise(col("delta"))
-        val newPr = when(received && abs(d1) > 1e-8, col("pagerank") + d1)
-          .otherwise(col("pagerank"))
-        val changed = abs(newPr - col("pagerank")) > 1e-8
-        df.select(col("id"), changed.as("active"),
-          newPr.as("pagerank"), newDelta.as("delta"), col("degree"),
-          changed.as("_changed"))
-      })
-    Superstep.run(graph, init, spec, cp)
+    Superstep.run(graph, init, spec(alpha), cp)
+  }
+
+  /**
+   * Warm-start after the graph CHANGED (edges/vertices added or removed) —
+   * the capability the reference's delta formulation exists for: instead of
+   * re-running from the 0.3 init, seed each vertex with the residual of the
+   * fixpoint equation on the NEW graph evaluated at the OLD ranks,
+   *
+   *   r_i = 0.3 + (1−α)·Σ_{j→i} x_old_j / outdeg'_j − x_old_i
+   *
+   * (outdeg' = degrees of the new graph; vertices unseen in `prevRanks`
+   * take x_old = 0), absorb it (pagerank = x_old + r, delta = r) and mark
+   * only |r| > eps active. The delta program then IS residual propagation
+   * (x += Σ_k A^k r), so it converges to the new graph's exact fixpoint while
+   * touching only vertices the change actually reaches — on a web-scale link
+   * graph where a crawl batch touches a tiny fraction of pages, the frontier
+   * stays proportional to the affected region, not |V|. Correct for
+   * arbitrary deltas: added edges, removed edges, new vertices, removed
+   * vertices, and source-degree changes (the residual re-prices every
+   * receiver of a degree-changed source automatically).
+   *
+   * Cost beyond the touched region: ONE degree aggregate and ONE
+   * contribution SpMV over the new graph to price the residual (both
+   * shuffle-bounded, no iteration); at 100 TB these are the same two passes
+   * any consistency check would already pay.
+   *
+   * @param prevRanks (id, pagerank) from a previous `run`/`warmStart` on any
+   *                  prior version of the graph
+   */
+  def warmStart(graph: LinkGraph, prevRanks: DataFrame, alpha: Double = 0.3,
+                cp: Option[CheckpointConfig] = None): RunResult = {
+    val deg = Degree.outDegrees(graph)
+    val xold = graph.vertices
+      .join(prevRanks.select(col("id"), col("pagerank").as("_pr0")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("_pr0"), lit(0.0)).as("_pr0"))
+    // (A·x_old)_i over the CURRENT edges; every src has outdeg ≥ 1 by
+    // construction so the inner joins lose nothing
+    val contrib = graph.edges
+      .join(xold.select(col("id").as("src"), col("_pr0")), Seq("src"))
+      .join(deg.select(col("id").as("src"), col("degree").as("_d")), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("_pr0") / col("_d")).as("_in"))
+    val r0 = lit(initRank) + lit(1.0 - alpha) * coalesce(col("_in"), lit(0.0)) - col("_pr0")
+    val init = xold
+      .join(contrib, Seq("id"), "left_outer")
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"), (abs(r0) > eps).as("active"),
+        (col("_pr0") + r0).as("pagerank"), r0.as("delta"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+    Superstep.run(graph, init, spec(alpha), cp)
   }
 }
 

@@ -36,6 +36,17 @@ import GatherScatter.{IdPartitioner, PrGraph, RankBlock}
  * one-sided like the PageRank path's (a retried task can only inflate a
  * nonzero count, never fabricate zero), so the changed==0 stop rule is
  * unaffected.
+ *
+ * Boundary: warm-starting after a GRAPH CHANGE
+ * ([[graft.algos.DeltaPageRank.warmStart]]) lives on the column engine only.
+ * Warm-start seeds are fixpoint residuals, which can be NEGATIVE (an edge
+ * removal, or a source gaining out-degree, lowers contributions) — that
+ * breaks the strictly-positive-delta invariant this kernel's exchange
+ * exploits for "received ⇔ sum > 0" (a negative and a positive contribution
+ * can cancel to ≤ 0 and mis-read as "nothing received"). Supporting it here
+ * would mean shipping an explicit presence mask per emitted block; until a
+ * workload needs warm restarts at CSR throughput, the honest answer is the
+ * column path, whose join-matched received detection is exact for any sign.
  */
 object DeltaPrCsr {
 

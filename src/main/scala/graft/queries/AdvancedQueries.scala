@@ -71,6 +71,23 @@ object AdvancedQueries {
       DeltaPageRank.run(bucketGraph(s, dir))
         .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))),
 
+    // Incremental PageRank under GRAPH GROWTH: converge on the first-5-edge
+    // prefix of every bucket chain, then add the remaining edges (new tail
+    // vertices + junction re-seed) and warm-start from the residuals of the
+    // old ranks on the grown graph. Must land on the full graph's exact
+    // fixpoint — the same closed form the cold g_deltapr oracle replays —
+    // proving the warm path converges to truth, not near it.
+    "g_deltapr_warm" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val before = graft.core.LinkGraph(EventGraph.bucketPrefixEdges(ev, 5))
+      val prev = DeltaPageRank.run(before).state.select("id", "pagerank")
+      val grown = bucketGraph(s, dir)
+      // `before`'s clustered-edge caches are released by the caller's
+      // inter-query sweep (Verify/Bench), same contract as every graph query
+      DeltaPageRank.warmStart(grown, prev)
+        .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))
+    }),
+
     // DeltaStepping SSSP (light/heavy split at delta=512, shared state);
     // distances equal the SSSP prefix sums, bucket = floor(dist/delta).
     "g_deltastep" -> ((s, dir) => {
@@ -276,6 +293,18 @@ object AdvancedQueries {
 
   val oracleSql: Map[String, String] = Map(
     "g_deltapr" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id,
+        |  round(1 - pow(0.7, rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1) + 1e-9, 6) AS pr
+        |FROM mrn""".stripMargin),
+
+    // same closed-form oracle: the warm-start must converge from the prefix
+    // graph's ranks to the FULL graph's fixpoint — any residual-seeding error
+    // (mispriced junction, unseeded new vertex, stale degree) shifts a tail
+    // value and breaks the hash
+    "g_deltapr_warm" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)

@@ -52,6 +52,21 @@ object EventGraph {
       .select(col("event_id").as("src"), col("nxt").as("dst"),
               (lit(1.0) + abs(col("nxtVal"))).as("weight"))
 
+  /** The first `k` edges of every bucket chain — the deterministic "graph
+    * before growth" for the warm-start gate: adding the remaining bucket
+    * edges extends each chain's tail with brand-new vertices AND re-seeds
+    * the junction vertex, exactly the shape of an ingest batch. */
+  def bucketPrefixEdges(ev: DataFrame, k: Int): DataFrame =
+    ev.select(
+        col("event_id"),
+        row_number().over(byUser).as("rn"),
+        lead("event_id", 1).over(byUser).as("nxt"),
+        lead("value", 1).over(byUser).as("nxtVal"))
+      .filter(col("nxt").isNotNull && (col("rn") % 10 =!= 0) &&
+              ((col("rn") - 1) % 10 < k))
+      .select(col("event_id").as("src"), col("nxt").as("dst"),
+              (lit(1.0) + abs(col("nxtVal"))).as("weight"))
+
   def richGraph(spark: SparkSession, dir: String): LinkGraph =
     LinkGraph(richEdges(events(spark, dir)))
 

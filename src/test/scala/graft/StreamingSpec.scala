@@ -69,4 +69,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rates("search") === 2L && rates("bash") === 1L)
   }
+
+  test("continuous rank over a growing edge stream equals a cold PageRank on the final graph") {
+    implicit val sq = s.sqlContext
+    // edges of the reference fixture arriving over 4 micro-batches: the
+    // maintainer must warm-start each batch and still land on the exact
+    // fixpoint of the FULL graph (sequential reference oracle)
+    val all = SparkTestBase.testGraphEdges.map { case (a, b) => graft.core.Edge(a, b, 1.0) }
+    val input = MemoryStream[graft.core.Edge]
+    val m = new graft.streaming.ContinuousRank.RankMaintainer(numPartitions = 4)
+    val q = graft.streaming.ContinuousRank.attach(input.toDS().toDF(), m).start()
+    all.grouped(4).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = m.current.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    m.close()
+    val want = SparkTestBase.refPageRank(SparkTestBase.testGraphEdges, tol = 1e-8)
+    assert(got.keySet === want.keySet)
+    for ((id, w) <- want)
+      assert(math.abs(got(id) - w) < 1e-5, s"vertex $id: got ${got(id)}, want $w")
+  }
 }
