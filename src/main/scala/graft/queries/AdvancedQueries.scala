@@ -88,6 +88,20 @@ object AdvancedQueries {
         .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))
     }),
 
+    // Incremental PageRank under DELETION — the negative-residual path:
+    // converge the FULL bucket chains, then drop each chain's first edge and
+    // warm-start. Every surviving chain head just lost its in-edge (residual
+    // 0.3 − 0.51 < 0) and the correction must cascade down the whole chain
+    // to the truncated graph's closed form. Chains make this the sharpest
+    // possible check: every vertex's value changes, all via negative deltas.
+    "g_deltapr_shrink" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val prev = DeltaPageRank.run(bucketGraph(s, dir)).state.select("id", "pagerank")
+      val shrunk = graft.core.LinkGraph(EventGraph.bucketSuffixEdges(ev, 1))
+      DeltaPageRank.warmStart(shrunk, prev)
+        .state.select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))
+    }),
+
     // DeltaStepping SSSP (light/heavy split at delta=512, shared state);
     // distances equal the SSSP prefix sums, bucket = floor(dist/delta).
     "g_deltastep" -> ((s, dir) => {
@@ -308,6 +322,18 @@ object AdvancedQueries {
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id,
+        |  round(1 - pow(0.7, rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1) + 1e-9, 6) AS pr
+        |FROM mrn""".stripMargin),
+
+    // the deletion twin: the closed form over the SUFFIX chains (first edge
+    // of every chain dropped; min(rn) renormalizes the position) — the warm
+    // start's negative residuals must land exactly here
+    "g_deltapr_shrink" -> (EventGraph.sqlBase +
+      """, suf AS (SELECT * FROM bucket WHERE (rn - 1) % 10 >= 1),
+        |mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM suf
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM suf)
         |SELECT id,
         |  round(1 - pow(0.7, rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1) + 1e-9, 6) AS pr
         |FROM mrn""".stripMargin),

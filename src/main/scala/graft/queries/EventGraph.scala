@@ -67,6 +67,21 @@ object EventGraph {
       .select(col("event_id").as("src"), col("nxt").as("dst"),
               (lit(1.0) + abs(col("nxtVal"))).as("weight"))
 
+  /** Every bucket chain WITHOUT its first `k` edges — the "graph after
+    * deletion" for the shrink gate: each surviving chain head just LOST its
+    * in-edge, so its rank must fall from 1−0.7^2 back to 0.3 and the
+    * correction cascade NEGATIVE residuals down the whole chain. */
+  def bucketSuffixEdges(ev: DataFrame, k: Int): DataFrame =
+    ev.select(
+        col("event_id"),
+        row_number().over(byUser).as("rn"),
+        lead("event_id", 1).over(byUser).as("nxt"),
+        lead("value", 1).over(byUser).as("nxtVal"))
+      .filter(col("nxt").isNotNull && (col("rn") % 10 =!= 0) &&
+              ((col("rn") - 1) % 10 >= k))
+      .select(col("event_id").as("src"), col("nxt").as("dst"),
+              (lit(1.0) + abs(col("nxtVal"))).as("weight"))
+
   def richGraph(spark: SparkSession, dir: String): LinkGraph =
     LinkGraph(richEdges(events(spark, dir)))
 
