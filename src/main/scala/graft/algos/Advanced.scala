@@ -334,3 +334,59 @@ object Sgd {
     math.sqrt(agg.getDouble(0) / agg.getLong(1))
   }
 }
+
+/**
+ * k-core decomposition by parallel peel, as a vertex program on the same
+ * Superstep engine (cf. TopologicalSort's Kahn peel — this is its undirected
+ * twin). Round 0 removes every vertex whose distinct-neighbor degree is < k;
+ * each superstep the just-removed vertices announce themselves along the
+ * undirected simple view, survivors subtract the announcement count from
+ * their remaining degree and are removed when it drops below k. Fixpoint =
+ * the k-core (unique maximal subgraph with min degree ≥ k). The rounds here
+ * are exactly the standard synchronous peel, so an unrolled SQL twin with at
+ * least as many rounds replays it bit-for-bit (extra rounds are no-ops).
+ *
+ * Scale: state is one row per vertex, each round is one ACTIVE_ONLY frontier
+ * join + grouped count over the pre-clustered undirected edges — the peel
+ * frontier shrinks monotonically, so late rounds cost only the survivors'
+ * partial aggregates. Not in the reference's app set; included because
+ * coreness filtering is a standard link-graph quality signal (e.g. spam/bot
+ * tail pruning before PageRank at web scale).
+ */
+object KCore {
+  /** Returns (id, in_core) over ALL vertices of `graph`. */
+  def run(graph: LinkGraph, k: Int,
+          cp: Option[CheckpointConfig] = None): RunResult = {
+    val und = graph.undirected
+    val deg = Degree.outDegrees(und) // distinct-neighbor count (simple view)
+    val init = und.vertices
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"),
+        // removed at round 0 ⇒ announce in superstep 1
+        (coalesce(col("degree"), lit(0L)) < k).as("active"),
+        coalesce(col("degree"), lit(0L)).as("rdeg"),
+        (coalesce(col("degree"), lit(0L)) < k).as("removed"))
+    val spec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.ActiveOnly,
+      send = fr => fr.select(col("id"), lit(1L).as("msg")),
+      reduce = Reduce.byAggs(sum("msg").as("acc")),
+      apply = (df, _) => {
+        val received = col("acc").isNotNull && col("acc") > 0
+        val newDeg = when(!col("removed") && received, col("rdeg") - col("acc"))
+          .otherwise(col("rdeg"))
+        val newlyRemoved = !col("removed") && received && newDeg < k
+        df.select(col("id"), newlyRemoved.as("active"),
+          newDeg.as("rdeg"),
+          (col("removed") || newlyRemoved).as("removed"),
+          newlyRemoved.as("_changed"))
+      })
+    // messages flow along the undirected simple view (the same one the
+    // degrees came from), NOT the directed input graph
+    Superstep.run(und, init, spec, cp)
+  }
+
+  /** Convenience projection: (id, in_core). */
+  def membership(graph: LinkGraph, k: Int): DataFrame =
+    run(graph, k).state.select(col("id"), (!col("removed")).as("in_core"))
+}

@@ -90,6 +90,43 @@ object PageRank {
       // tol<0 = fixed-iteration mode: every vertex always "changes", so skip
       // the per-superstep convergence count (saves one job per superstep)
       trackChanges = tol >= 0)
+
+  /**
+   * Personalized PageRank (random walk with restart): the teleport mass is
+   * confined to a source set instead of spread uniformly —
+   * pr' = α·s(v) + (1−α)·Σ msg, s(v) = 1 for sources else 0, init pr = s(v).
+   * Same superstep shape as global PageRank (one send projection, one
+   * grouped sum, one apply — identical plan, so it inherits every scale
+   * property: pre-clustered edge join, hub split, map-side partial sums).
+   * Fixed-iteration mode so a gate's unrolled SQL twin replays it exactly.
+   * Returns (id, ppr).
+   */
+  def personalized(graph: LinkGraph, isSource: org.apache.spark.sql.Column,
+                   iterations: Int, alpha: Double = 0.3): DataFrame = {
+    val deg = Degree.outDegrees(graph)
+    val sv = when(isSource, 1.0).otherwise(0.0)
+    val init = graph.vertices
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"), lit(true).as("active"),
+        sv.as("sv"), sv.as("pagerank"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+    val pprSpec = VertexProgramSpec(
+      direction = Direction.Out,
+      activity = Activity.AllVertices,
+      send = fr => fr.select(col("id"),
+        when(col("degree") === 0, 0.0)
+          .otherwise(col("pagerank") / col("degree")).as("msg")),
+      reduce = Reduce.byAggs(sum("msg").as("acc")),
+      apply = (df, _) => df.select(
+        col("id"), lit(true).as("active"), col("sv"),
+        (lit(alpha) * col("sv") +
+          lit(1.0 - alpha) * coalesce(col("acc"), lit(0.0))).as("pagerank"),
+        col("degree"), lit(true).as("_changed")),
+      maxIterations = iterations,
+      trackChanges = false)
+    Superstep.run(graph, init, pprSpec).state
+      .select(col("id"), col("pagerank").as("ppr"))
+  }
 }
 
 /**
@@ -252,26 +289,61 @@ object TriangleCount {
         when(srcFirst, col("dd")).otherwise(col("ds")).as("dh"))
   }
 
-  def perVertex(graph: LinkGraph): DataFrame = {
+  /** Every triangle exactly once, as (w, u, v) rows: w is the
+    * (degree, id)-minimal corner, the closing edge (u, v) is oriented by the
+    * same total order the wedge filter uses, so a semi-join against the
+    * oriented edge set closes it. All of perVertex / participation /
+    * clustering share this one enumeration. */
+  private[graft] def triangles(graph: LinkGraph): DataFrame = {
     val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst")
     val o = orientByDegree(e)
-    // each triangle is found once, at its (deg,id)-minimal vertex w; the
-    // closing edge (u,v) is oriented u->v by the same total order the wedge
-    // filter uses, so a semi-join against the oriented edge set closes it
     val o1 = o.select(col("lo").as("w"), col("hi").as("u"), col("dh").as("du"))
     val o2 = o.select(col("lo").as("w2"), col("hi").as("v"), col("dh").as("dv"))
     val wedges = o1.join(o2, col("w") === col("w2") &&
       (col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))))
     val closing = o.select(col("lo").as("u3"), col("hi").as("v3"))
-    val tris = wedges.join(closing,
+    wedges.join(closing,
       col("u") === col("u3") && col("v") === col("v3"), "left_semi")
+      .select("w", "u", "v")
+  }
+
+  def perVertex(graph: LinkGraph): DataFrame = {
     // per-vertex attribution matches the reference: the LARGEST original id
     // of the triangle gets the count (`TriangleCounting.cpp:39-216`)
-    val counts = tris
+    val counts = triangles(graph)
       .groupBy(greatest(col("w"), col("u"), col("v")).as("id"))
       .agg(count("*").as("triangles"))
     graph.vertices.join(counts, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Triangles THROUGH each vertex (all three corners credited) — the input
+    * the local clustering coefficient needs; Σ participation = 3 × total. */
+  def participation(graph: LinkGraph): DataFrame = {
+    val counts = triangles(graph)
+      .select(explode(array(col("w"), col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count("*").as("triangles"))
+    graph.vertices.join(counts, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /**
+   * Local clustering coefficient over the undirected simple view:
+   * cc(v) = 2·t(v) / (d(v)·(d(v)−1)) with t = triangle participation and
+   * d = distinct-neighbor count; 0 when d < 2. One triangle enumeration +
+   * one degree aggregate + one hash join — no all-pairs anywhere, so the
+   * plan scales exactly as far as triangle counting does (O(E^1.5) wedge
+   * bound after degree orientation).
+   */
+  def localClustering(graph: LinkGraph): DataFrame = {
+    val dag = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst")
+    val deg = dag.select(col("src").as("id")).union(dag.select(col("dst").as("id")))
+      .groupBy("id").agg(count("*").as("d"))
+    participation(graph).join(deg, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(coalesce(col("d"), lit(0L)) < 2, 0.0)
+          .otherwise(lit(2.0) * col("triangles") / (col("d") * (col("d") - lit(1.0))))
+          .as("cc"))
   }
 
   def total(graph: LinkGraph): Long =

@@ -186,7 +186,25 @@ object QueryCatalog {
       val (orders, _) = graft.engine.ToposortCsr.run(built)
       graft.engine.GatherScatter.toDF(s, orders)
         .select(col("id"), col("pagerank").cast("long").as("order"))
-    })
+    }),
+    // local clustering coefficient: triangle participation (all three
+    // corners credited) over the same enumeration g_triangle uses, divided
+    // by the distinct-neighbor wedge count
+    "g_clustcoef" -> ((s, dir) =>
+      TriangleCount.localClustering(richGraph(s, dir))
+        .select(col("id"), round(col("cc") + 1e-9, 6).as("cc"))),
+    // personalized PageRank (random walk with restart) from the id%97
+    // source set; fixed 10 supersteps like g_pagerank so the unrolled
+    // SQL twin is exact
+    "g_ppr" -> ((s, dir) =>
+      PageRank.personalized(richGraph(s, dir), col("id") % 97 === 0,
+          iterations = 10)
+        .select(col("id"), round(col("ppr") + 1e-9, 6).as("ppr"))),
+    // 2-core membership via the engine's synchronous peel (KCore — the
+    // undirected twin of the Kahn peel); the oracle unrolls 4 peel rounds
+    // (extra rounds are no-ops once the fixpoint is reached)
+    "g_kcore" -> ((s, dir) =>
+      KCore.membership(richGraph(s, dir), 2))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -330,8 +348,64 @@ object QueryCatalog {
         |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
         |SELECT id, rn - min(rn) OVER (PARTITION BY user_id, bkt) AS "order" FROM mrn""".stripMargin),
     "g_triangle" -> triangleOracle,
-    "g_triangle_csr" -> triangleOracle
+    "g_triangle_csr" -> triangleOracle,
+    "g_clustcoef" -> clustcoefOracle,
+    "g_ppr" -> pprUnrolled,
+    "g_kcore" -> kcoreUnrolled
   )
+
+  /** Triangle participation (each triangle credits all three corners) over
+    * the canonical DAG, then cc = 2t / (d(d−1)) with d = distinct-neighbor
+    * degree; 0 when d < 2. */
+  private lazy val clustcoefOracle: String = EventGraph.sqlBase +
+    """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
+      |deg AS (SELECT id, count(*) AS d FROM (
+      |  SELECT src AS id FROM dag UNION ALL SELECT dst FROM dag) GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM dag e1 JOIN dag e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  WHERE EXISTS (SELECT 1 FROM dag e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+      |part AS (SELECT v, count(*) AS t FROM (
+      |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT rv.id, round(CASE WHEN coalesce(deg.d, 0) < 2 THEN 0.0
+      |  ELSE 2.0 * coalesce(part.t, 0) / (deg.d * (deg.d - 1.0)) END + 1e-9, 6) AS cc
+      |FROM rv LEFT JOIN deg ON deg.id = rv.id LEFT JOIN part ON part.v = rv.id""".stripMargin
+
+  /** Personalized PageRank, 10 unrolled supersteps: s(v) = 1 iff id%97=0,
+    * pr0 = s, pr' = 0.3·s + 0.7·Σ in-contributions (no-message ⇒ 0.3·s). */
+  private lazy val pprUnrolled: String = {
+    val iters = (1 to 10).map { k =>
+      s"""pr$k AS (
+         |  SELECT rv.id, 0.3*sv.s + 0.7*coalesce(m.acc, 0) AS pr
+         |  FROM rv JOIN sv ON sv.id = rv.id LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr/deg.d) AS acc
+         |    FROM rich e JOIN pr${k - 1} p ON p.id = e.src JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) m ON m.id = rv.id)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", deg AS (SELECT src, count(*) AS d FROM rich GROUP BY 1),
+         |sv AS (SELECT id, CASE WHEN id % 97 = 0 THEN 1.0 ELSE 0.0 END AS s FROM rv),
+         |pr0 AS (SELECT id, s AS pr FROM sv),
+         |$iters
+         |SELECT id, round(pr + 1e-9, 6) AS ppr FROM pr10""".stripMargin
+  }
+
+  /** 2-core by 4 unrolled parallel-peel rounds (the peel on this graph
+    * family converges in ≤2 — single-pair components peel, every ≥3-event
+    * component contains its skip-edge triangles; extra rounds are no-ops). */
+  private lazy val kcoreUnrolled: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""a$r AS (SELECT a AS id FROM und${r - 1} GROUP BY 1 HAVING count(*) >= 2),
+         |und$r AS (SELECT u.a, u.b FROM und${r - 1} u
+         |  JOIN a$r x ON x.id = u.a JOIN a$r y ON y.id = u.b)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+         |und0 AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+         |$rounds
+         |SELECT rv.id, (a4.id IS NOT NULL) AS in_core
+         |FROM rv LEFT JOIN a4 ON a4.id = rv.id""".stripMargin
+  }
 
   private lazy val triangleOracle: String = EventGraph.sqlBase +
     """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
