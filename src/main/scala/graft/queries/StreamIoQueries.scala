@@ -122,6 +122,27 @@ object StreamIoQueries {
       MtxReader.write(richEdges(events(s, dir)), tmp)
       MtxReader.readMtx(s, tmp).edges
         .select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
+    }),
+
+    // streaming exact dedup — the ingest-time twin of d_dedup_exact: the
+    // documents table arrives as micro-batches (rows scattered across files
+    // by doc_id hash, so batch boundaries cut through every dup group) and
+    // a streaming groupBy(content hash) keeps (keeper = min doc_id, count).
+    // Complete mode to a memory sink: the final trigger's state equals the
+    // batch group-by regardless of arrival order, which is what the oracle
+    // replays. At 100 TB the same plan runs in update mode with the state
+    // store sharded by hash; keeper-by-min makes late arrivals idempotent.
+    "st_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = Files.createTempDirectory("graft-stdedup").toString
+      docs.repartition(8, pmod(xxhash64(col("doc_id")), lit(8)))
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2).parquet(tmp)
+      val agg = stream
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count("*").as("n_docs"), min("doc_id").as("keeper"))
+      runToMemory(agg, "complete")
     })
   )
 
@@ -158,6 +179,9 @@ object StreamIoQueries {
       "SELECT src, dst, round(weight + 1e-9, 6) AS weight FROM bucket"),
 
     "io_mtx" -> (EventGraph.sqlBase +
-      "SELECT src, dst, CAST(1 AS BIGINT) AS weight FROM rich")
+      "SELECT src, dst, CAST(1 AS BIGINT) AS weight FROM rich"),
+
+    "st_dedup" ->
+      "SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper FROM documents GROUP BY 1"
   )
 }

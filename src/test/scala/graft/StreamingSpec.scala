@@ -88,4 +88,30 @@ class StreamingSpec extends AnyFunSuite {
     for ((id, w) <- want)
       assert(math.abs(got(id) - w) < 1e-5, s"vertex $id: got ${got(id)}, want $w")
   }
+
+  test("streaming exact dedup: final state is batch-boundary invariant (3 batches vs 1)") {
+    implicit val sq = s.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    // planted dup groups whose members land in DIFFERENT micro-batches
+    val docs = (1L to 30L).map(i => (i, s"text-${i % 7}"))
+    def dedupOver(batches: Seq[Seq[(Long, String)]]): Map[String, (Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val name = "st_dedup_" + batches.size
+      val agg = input.toDS().toDF("doc_id", "text")
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count("*").as("n_docs"), min("doc_id").as("keeper"))
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      s.table(name).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val threeBatches = dedupOver(docs.grouped(10).toSeq)
+    val oneBatch = dedupOver(Seq(docs))
+    assert(threeBatches === oneBatch)
+    assert(threeBatches.values.map(_._1).sum === 30L)
+    // keeper is the group minimum regardless of arrival order
+    assert(threeBatches.values.forall { case (_, keeper) => keeper <= 7L })
+  }
 }
