@@ -1132,6 +1132,75 @@ object GatherScatter {
   }
 
   /**
+   * Personalized PageRank on the CSR path — the same gather/split-exchange
+   * as `pageRank` with a per-vertex teleport base instead of the constant α:
+   * pr' = α·s(v) + (1−α)·Σ pr/outdeg, init pr = s, s = 1 on the source set.
+   * Never-receivers hold α·s(v) (their Σ is empty), so the apply reads the
+   * cached base vector, not the previous ranks — the loop therefore keeps
+   * exactly two rank generations plus one K-doubles base block per
+   * partition live. Matches algos.PageRank.personalized within ⊕ order
+   * (CoreMetricsSpec parity; g_ppr_csr shares g_ppr's unrolled oracle).
+   */
+  def personalizedPageRank(g: PrGraph, isSource: Long => Boolean,
+                           alpha: Double, iterations: Int,
+                           checkpointEvery: Int = 8): RDD[RankBlock] = {
+    val sc = g.csr.sparkContext
+    val idPart = new IdPartitioner(g.numPartitions)
+    val base = g.verts.mapPartitions({ it =>
+      val vm = it.next()
+      val b = new Array[Double](vm.ids.length)
+      var i = 0
+      while (i < b.length) { if (isSource(vm.ids(i))) b(i) = 1.0; i += 1 }
+      Iterator.single(b)
+    }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks: RDD[Array[Double]] = base // init pr0 = s
+    var prev: RDD[Array[Double]] = null
+    var it = 0
+    while (it < iterations) {
+      val hotPr = sc.broadcast(hotMirror(g, ranks))
+      val gathered = gatherPhase(ranks, g, hotPr)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val remote = gathered.mapPartitionsWithIndex(
+          (p, itr) => itr.filter(_._1 != p), preservesPartitioning = false)
+        .partitionBy(idPart)
+      val nr = remote.zipPartitions(gathered, g.meta, base,
+          preservesPartitioning = true) { (rIt, lIt, mIt, bIt) =>
+        val (vm, inIdx) = mIt.next(); val b = bIt.next()
+        val p = TaskContext.getPartitionId()
+        val acc = new Array[Double](vm.nRecv)
+        @inline def fold(q: Int, vals: Array[Double]): Unit = {
+          val idx = inIdx(q)
+          var i = 0
+          while (i < vals.length) { acc(idx(i)) += vals(i); i += 1 }
+        }
+        lIt.foreach { case (tp, (q, vals)) => if (tp == p) fold(q, vals) }
+        rIt.foreach { case (_, (q, vals)) => fold(q, vals) }
+        val nV = vm.ids.length
+        val newPr = new Array[Double](nV)
+        var i = 0
+        while (i < vm.nRecv) {
+          newPr(i) = alpha * b(i) + (1.0 - alpha) * acc(i); i += 1
+        }
+        while (i < nV) { newPr(i) = alpha * b(i); i += 1 }
+        Iterator.single(newPr)
+      }
+      val newRanks = nr.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((it + 1) % checkpointEvery == 0) newRanks.localCheckpoint()
+      newRanks.count()
+      gathered.unpersist(blocking = false)
+      hotPr.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = newRanks
+      ranks = newRanks
+      it += 1
+    }
+    val out = materialize(g, ranks)
+    if (prev != null) prev.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * PageRank until convergence, GraphMat stop rule: terminate when no vertex
    * moved by more than `tol` (`PR::operator!=`, `src/PageRank.cpp:43-45`;
    * land-reduce `GraphMatRuntime.h:208-226` — here a Spark accumulator).

@@ -204,7 +204,16 @@ object QueryCatalog {
     // undirected twin of the Kahn peel); the oracle unrolls 4 peel rounds
     // (extra rounds are no-ops once the fixpoint is reached)
     "g_kcore" -> ((s, dir) =>
-      KCore.membership(richGraph(s, dir), 2))
+      KCore.membership(richGraph(s, dir), 2)),
+    // personalized PageRank on the CSR fast path (per-vertex teleport base
+    // through the same split exchange); same oracle as g_ppr
+    "g_ppr_csr" -> ((s, dir) => {
+      val built = graft.engine.GatherScatter.build(richGraph(s, dir), 8)
+      val ranks = graft.engine.GatherScatter.personalizedPageRank(
+        built, _ % 97 == 0, alpha = 0.3, iterations = 10)
+      graft.engine.GatherScatter.toDF(s, ranks)
+        .select(col("id"), round(col("pagerank") + 1e-9, 6).as("ppr"))
+    })
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -351,6 +360,7 @@ object QueryCatalog {
     "g_triangle_csr" -> triangleOracle,
     "g_clustcoef" -> clustcoefOracle,
     "g_ppr" -> pprUnrolled,
+    "g_ppr_csr" -> pprUnrolled,
     "g_kcore" -> kcoreUnrolled
   )
 

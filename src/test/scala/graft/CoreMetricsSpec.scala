@@ -117,6 +117,36 @@ class CoreMetricsSpec extends AnyFunSuite {
     for ((v, p) <- want) assert(math.abs(got(v) - p) < 1e-12, s"vertex $v")
   }
 
+  test("CSR personalized PageRank == column engine (reference graph + planted hub source)") {
+    import graft.engine.GatherScatter
+    // hub 1 → 2..601 trips the hot split AND is itself a source, so its
+    // teleport base must flow through the broadcast mirror; back-edges into
+    // the hub make it a receiver too (both apply branches exercised)
+    val hubEdges: Seq[(Long, Long)] =
+      (2L to 601L).map(d => (1L, d)) ++
+        Seq((602L, 1L), (603L, 602L), (603L, 604L), (605L, 1L))
+    val cases = Seq(
+      ("ref", testGraphEdges, Set(1L, 5L), 0L),
+      ("hub", hubEdges, Set(1L, 604L), 100L))
+    for ((name, es, sources, hotDeg) <- cases) {
+      val g = graphOf(es)
+      val want = PageRank.personalized(g,
+          org.apache.spark.sql.functions.col("id").isin(sources.toSeq: _*),
+          iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val built = GatherScatter.build(g, 4, hotDegree = hotDeg)
+      if (name == "hub") assert(built.hotIds.toSeq === Seq(1L), "hub must be hot")
+      val got = GatherScatter.toDF(s,
+          GatherScatter.personalizedPageRank(built, sources, alpha = 0.3,
+            iterations = 10))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === want.keySet, s"case $name")
+      for ((v, p) <- want)
+        assert(math.abs(got(v) - p) < 1e-12, s"case $name vertex $v")
+      built.unpersist()
+    }
+  }
+
   test("PPR with an empty source set is identically zero") {
     val got = PageRank.personalized(graphOf(testGraphEdges),
         org.apache.spark.sql.functions.lit(false), iterations = 3)
