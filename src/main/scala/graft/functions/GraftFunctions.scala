@@ -33,6 +33,13 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           s"vector_dot takes exactly 2 arguments, got ${children.length}")
       }),
+    (FunctionIdentifier("vector_bitor"),
+      new ExpressionInfo(classOf[VectorBitOr].getName, "vector_bitor"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => VectorBitOr(c)
+        case _ => throw new IllegalArgumentException(
+          s"vector_bitor takes exactly 1 argument, got ${children.length}")
+      }),
     (FunctionIdentifier("vector_lsum"),
       new ExpressionInfo(classOf[VectorLSum].getName, "vector_lsum"),
       (children: Seq[Expression]) => children match {

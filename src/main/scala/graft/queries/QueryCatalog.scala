@@ -213,7 +213,15 @@ object QueryCatalog {
         built, _ % 97 == 0, alpha = 0.3, iterations = 10)
       graft.engine.GatherScatter.toDF(s, ranks)
         .select(col("id"), round(col("pagerank") + 1e-9, 6).as("ppr"))
-    })
+    }),
+    // ANF/HyperBall neighborhood sketches: 4 FM bit registers per vertex
+    // OR-folded along out-edges for 3 supersteps (the vector_bitor native
+    // aggregate as ⊕). The gate ships the raw registers — deterministic
+    // integers the oracle replays bit-for-bit
+    "g_neigh" -> ((s, dir) =>
+      Neighborhood.sketches(richGraph(s, dir), hops = 3, k = 4)
+        .select(col("id"), posexplode(col("sk")).as(Seq("r", "reg")))
+        .withColumn("r", col("r").cast("long")))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -361,7 +369,8 @@ object QueryCatalog {
     "g_clustcoef" -> clustcoefOracle,
     "g_ppr" -> pprUnrolled,
     "g_ppr_csr" -> pprUnrolled,
-    "g_kcore" -> kcoreUnrolled
+    "g_kcore" -> kcoreUnrolled,
+    "g_neigh" -> neighUnrolled
   )
 
   /** Triangle participation (each triangle credits all three corners) over
@@ -415,6 +424,32 @@ object QueryCatalog {
          |$rounds
          |SELECT rv.id, (a4.id IS NOT NULL) AS in_core
          |FROM rv LEFT JOIN a4 ON a4.id = rv.id""".stripMargin
+  }
+
+  /** md5 hex prefix → exact 32-bit integer (BIGINT arithmetic end to end —
+    * the integer twin of AdvancedQueries' hexU). */
+  private def hexI(hexExpr: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** ANF sketch twin: FM registers seeded with h & -h of the md5 hash, then
+    * 3 rounds of bit_or over out-neighbors — integer ops only, bit-exact. */
+  private lazy val neighUnrolled: String = {
+    val rounds = (1 to 3).map { h =>
+      s"""sk$h AS (
+         |  SELECT s.id, s.r, s.reg | coalesce(m.acc, 0) AS reg
+         |  FROM sk${h - 1} s LEFT JOIN (
+         |    SELECT e.src AS id, n.r, bit_or(n.reg) AS acc
+         |    FROM rich e JOIN sk${h - 1} n ON n.id = e.dst GROUP BY 1, 2) m
+         |  ON m.id = s.id AND m.r = s.r)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |h0 AS (SELECT rv.id, rs.r, ${hexI("md5(rv.id || ':' || rs.r)")} AS h FROM rv CROSS JOIN rs),
+         |sk0 AS (SELECT id, r, CASE WHEN h = 0 THEN 0 ELSE h & (-h) END AS reg FROM h0),
+         |$rounds
+         |SELECT id, r, reg FROM sk3""".stripMargin
   }
 
   private lazy val triangleOracle: String = EventGraph.sqlBase +

@@ -23,6 +23,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got(2L) == Seq(3.0, 4.0))
   }
 
+  test("register(spark) makes vector_bitor callable from spark.sql") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1L, 8L)), (1L, Array(2L, 8L)), (2L, Array(5L, 0L)))
+      .toDF("id", "v").createOrReplaceTempView("vbo_sql_in")
+    val got = spark.sql(
+      "SELECT id, vector_bitor(v) AS n FROM vbo_sql_in GROUP BY id ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(3L, 8L))
+    assert(got(2L) == Seq(5L, 0L))
+  }
+
+  test("vector_bitor rejects mixed lengths instead of truncating") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1L)), (1L, Array(1L, 2L)))
+      .toDF("id", "v").createOrReplaceTempView("vbo_mixed_in")
+    val e = intercept[Exception] {
+      spark.sql("SELECT id, vector_bitor(v) FROM vbo_mixed_in GROUP BY id").collect()
+    }
+    assert(e.getMessage.contains("mixed array lengths") ||
+      e.getCause != null && e.getCause.getMessage.contains("mixed array lengths"))
+  }
+
   test("wrong arity reports a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
