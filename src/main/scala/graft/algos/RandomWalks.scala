@@ -1,0 +1,73 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.LinkGraph
+
+/**
+ * Deterministic random-walk corpus generation — the DeepWalk/node2vec front
+ * half (Perozzi et al., KDD'14): emit fixed-length truncated random walks
+ * from every vertex, the token stream an embedding trainer consumes. Beyond
+ * the reference's algorithm set, but the canonical link-graph → LLM-training
+ * -pipeline bridge at 10^12-edge scale.
+ *
+ * Every step is md5-derived, so walks are exactly replayable anywhere (the
+ * g_walks DuckDB oracle replays them row-for-row): a walk at u on step t
+ * moves to the neighbor at index md5("walk:t:u") mod outdeg(u) in dst-sorted
+ * order, and stops early at sinks.
+ *
+ * Scale shape: the adjacency is indexed ONCE ((src, idx, dst, dstdeg) — one
+ * row_number window + one degree join), then each step is a single two-key
+ * equi-join (src, idx) because the walk state CARRIES the current vertex's
+ * degree: the pick index is computable before the join, so no per-step
+ * degree lookup and no join-then-filter fanout of deg(u) rows per walk.
+ * Bucket the adjacency by src and every step co-locates; steps are
+ * localCheckpointed so the final union replays nothing.
+ */
+object RandomWalks {
+
+  /** (walk: string, step: long, v: long) — step 0 is the start vertex; a
+    * walk that hits a sink simply has no later rows. `walk` = "<startId>#<i>"
+    * for i in [0, walksPerVertex). */
+  def corpus(graph: LinkGraph, walksPerVertex: Int = 1, length: Int = 10): DataFrame = {
+    require(walksPerVertex >= 1 && length >= 1)
+    val edges = graph.edges.select("src", "dst").distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val adj = edges
+      .withColumn("idx", row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
+      .join(deg.select(col("src").as("dst"), col("d").as("dstdeg")), Seq("dst"), "left")
+      .select(col("src"), col("idx"), col("dst"),
+        coalesce(col("dstdeg"), lit(0L)).as("dstdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val starts = (0 until walksPerVertex).map { wi =>
+      graph.vertices.join(deg, col("id") === col("src"), "left")
+        .select(
+          concat(col("id").cast("string"), lit(s"#$wi")).as("walk"),
+          col("id").as("v"),
+          coalesce(col("d"), lit(0L)).as("vdeg"))
+    }.reduce(_ unionAll _)
+
+    var cur = starts.localCheckpoint(true)
+    val segments = Seq.newBuilder[DataFrame]
+    segments += cur.select(col("walk"), lit(0L).as("step"), col("v"))
+    for (t <- 1 to length) {
+      val pick = pmod(
+        conv(substring(md5(concat_ws(":", col("walk"), lit(t), col("v"))), 1, 8),
+          16, 10).cast("long"),
+        col("vdeg"))
+      cur = cur.filter(col("vdeg") > 0)
+        .withColumn("pick", pick)
+        .join(adj, col("v") === adj("src") && col("pick") === adj("idx"))
+        .select(col("walk"), adj("dst").as("v"), adj("dstdeg").as("vdeg"))
+        .localCheckpoint(true)
+      segments += cur.select(col("walk"), lit(t.toLong).as("step"), col("v"))
+    }
+    val out = segments.result().reduce(_ unionAll _)
+    adj.unpersist(blocking = false)
+    out
+  }
+}

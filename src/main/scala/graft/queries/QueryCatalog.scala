@@ -221,7 +221,12 @@ object QueryCatalog {
     "g_neigh" -> ((s, dir) =>
       Neighborhood.sketches(richGraph(s, dir), hops = 3, k = 4)
         .select(col("id"), posexplode(col("sk")).as(Seq("r", "reg")))
-        .withColumn("r", col("r").cast("long")))
+        .withColumn("r", col("r").cast("long"))),
+    // DeepWalk corpus: 2 md5-deterministic walks of length 4 from every
+    // vertex, each step one (src, idx) equi-join against the indexed
+    // adjacency; the oracle replays every pick row-for-row
+    "g_walks" -> ((s, dir) =>
+      RandomWalks.corpus(richGraph(s, dir), walksPerVertex = 2, length = 4))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -370,7 +375,8 @@ object QueryCatalog {
     "g_ppr" -> pprUnrolled,
     "g_ppr_csr" -> pprUnrolled,
     "g_kcore" -> kcoreUnrolled,
-    "g_neigh" -> neighUnrolled
+    "g_neigh" -> neighUnrolled,
+    "g_walks" -> walksUnrolled
   )
 
   /** Triangle participation (each triangle credits all three corners) over
@@ -450,6 +456,31 @@ object QueryCatalog {
          |sk0 AS (SELECT id, r, CASE WHEN h = 0 THEN 0 ELSE h & (-h) END AS reg FROM h0),
          |$rounds
          |SELECT id, r, reg FROM sk3""".stripMargin
+  }
+
+  /** Random-walk twin: the indexed adjacency (row_number over dst order,
+    * degree embedded per row) and 4 unrolled md5-pick steps, 2 walks per
+    * start vertex — integer picks, replayed row-for-row. */
+  private lazy val walksUnrolled: String = {
+    val steps = (1 to 4).map { t =>
+      s"""w$t AS (
+         |  SELECT w.walk, a.dst AS v, a.dstdeg AS vdeg
+         |  FROM w${t - 1} w JOIN adjd a ON a.src = w.v
+         |   AND a.idx = (${hexI(s"md5(w.walk || ':' || $t || ':' || w.v)")} % w.vdeg)
+         |  WHERE w.vdeg > 0)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 4).map(t =>
+      s"SELECT walk, CAST($t AS BIGINT) AS step, v FROM w$t").mkString("\nUNION ALL ")
+    EventGraph.sqlBase +
+      s""", deg AS (SELECT src, count(*) AS d FROM rich GROUP BY 1),
+         |adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM rich),
+         |adjd AS (SELECT a.src, a.dst, a.idx, coalesce(dd.d, 0) AS dstdeg
+         |         FROM adj a LEFT JOIN deg dd ON dd.src = a.dst),
+         |w0 AS (SELECT rv.id || '#' || ws.wi AS walk, rv.id AS v, coalesce(deg.d, 0) AS vdeg
+         |       FROM rv CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wi) ws
+         |       LEFT JOIN deg ON deg.src = rv.id),
+         |$steps
+         |$sel""".stripMargin
   }
 
   private lazy val triangleOracle: String = EventGraph.sqlBase +
