@@ -101,6 +101,28 @@ object Neighborhood {
     out.result()
   }
 
+  /** Estimated (outward) harmonic centrality from the same register stream:
+    * H(v) = Σ_{h=1..maxH} (|N(v,h)| − |N(v,h−1)|)/h — Boldi–Vigna's sketch
+    * formulation. Per-vertex estimates are monotone in h by construction
+    * (registers only accumulate), so the diffs are nonnegative; greatest()
+    * just absorbs float dust. Returns (id, harmonic: double). */
+  def harmonicCentrality(graph: LinkGraph, maxH: Int, k: Int = 16): DataFrame = {
+    var state = initState(graph, k)
+    var acc = state
+      .select(col("id"), lit(0.0).as("hc"), estimate(col("sk"), k).as("eprev"))
+    for (h <- 1 to maxH) {
+      state = Superstep.run(graph, state, spec(1)).state
+      acc = acc
+        .join(state.select(col("id"), estimate(col("sk"), k).as("eh")), "id")
+        .select(
+          col("id"),
+          (col("hc") + greatest(lit(0.0), col("eh") - col("eprev")) / h).as("hc"),
+          col("eh").as("eprev"))
+        .localCheckpoint(true)
+    }
+    acc.select(col("id"), col("hc").as("harmonic"))
+  }
+
   /** Effective diameter at quantile `q`: the smallest h (linearly
     * interpolated) where the neighborhood function reaches q·N(maxH). */
   def effectiveDiameter(graph: LinkGraph, q: Double = 0.9, maxH: Int = 16,

@@ -70,4 +70,22 @@ object RandomWalks {
     adj.unpersist(blocking = false)
     out
   }
+
+  /** Skip-gram (center, context) pairs from a walk corpus — the word2vec
+    * training input (DeepWalk §4.2): every ordered pair of vertices within
+    * `window` steps of each other on the same walk, with the signed offset.
+    * One self-join on walk id with a bounded step-range predicate; at scale
+    * both sides shuffle on the walk id once and the range predicate stays
+    * inside the sort-merge join. */
+  def skipGramPairs(corpus: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1)
+    val a = corpus.as("a"); val b = corpus.as("b")
+    a.join(b,
+        col("a.walk") === col("b.walk") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= window)
+      .select(
+        col("a.v").as("center"), col("b.v").as("context"),
+        (col("b.step") - col("a.step")).as("offset"))
+  }
 }

@@ -226,7 +226,14 @@ object QueryCatalog {
     // vertex, each step one (src, idx) equi-join against the indexed
     // adjacency; the oracle replays every pick row-for-row
     "g_walks" -> ((s, dir) =>
-      RandomWalks.corpus(richGraph(s, dir), walksPerVertex = 2, length = 4))
+      RandomWalks.corpus(richGraph(s, dir), walksPerVertex = 2, length = 4)),
+    // skip-gram co-occurrence counts over the same corpus (window 2) — the
+    // word2vec training input
+    "g_walk_pairs" -> ((s, dir) =>
+      RandomWalks.skipGramPairs(
+          RandomWalks.corpus(richGraph(s, dir), walksPerVertex = 2, length = 4),
+          window = 2)
+        .groupBy("center", "context", "offset").agg(count(lit(1)).as("n")))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -376,7 +383,8 @@ object QueryCatalog {
     "g_ppr_csr" -> pprUnrolled,
     "g_kcore" -> kcoreUnrolled,
     "g_neigh" -> neighUnrolled,
-    "g_walks" -> walksUnrolled
+    "g_walks" -> walksUnrolled,
+    "g_walk_pairs" -> walkPairsUnrolled
   )
 
   /** Triangle participation (each triangle credits all three corners) over
@@ -461,7 +469,9 @@ object QueryCatalog {
   /** Random-walk twin: the indexed adjacency (row_number over dst order,
     * degree embedded per row) and 4 unrolled md5-pick steps, 2 walks per
     * start vertex — integer picks, replayed row-for-row. */
-  private lazy val walksUnrolled: String = {
+  /** WITH-prologue ending in a `corpus(walk, step, v)` CTE — shared by
+    * g_walks and g_walk_pairs. */
+  private lazy val walksWith: String = {
     val steps = (1 to 4).map { t =>
       s"""w$t AS (
          |  SELECT w.walk, a.dst AS v, a.dstdeg AS vdeg
@@ -470,7 +480,7 @@ object QueryCatalog {
          |  WHERE w.vdeg > 0)""".stripMargin
     }.mkString(",\n")
     val sel = (0 to 4).map(t =>
-      s"SELECT walk, CAST($t AS BIGINT) AS step, v FROM w$t").mkString("\nUNION ALL ")
+      s"SELECT walk, CAST($t AS BIGINT) AS step, v FROM w$t").mkString("\n  UNION ALL ")
     EventGraph.sqlBase +
       s""", deg AS (SELECT src, count(*) AS d FROM rich GROUP BY 1),
          |adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM rich),
@@ -479,9 +489,20 @@ object QueryCatalog {
          |w0 AS (SELECT rv.id || '#' || ws.wi AS walk, rv.id AS v, coalesce(deg.d, 0) AS vdeg
          |       FROM rv CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wi) ws
          |       LEFT JOIN deg ON deg.src = rv.id),
-         |$steps
-         |$sel""".stripMargin
+         |$steps,
+         |corpus AS (
+         |  $sel)
+         |""".stripMargin
   }
+
+  private lazy val walksUnrolled: String =
+    walksWith + "SELECT walk, step, v FROM corpus"
+
+  private lazy val walkPairsUnrolled: String = walksWith +
+    """SELECT a.v AS center, b.v AS context, b.step - a.step AS offset, count(*) AS n
+      |FROM corpus a JOIN corpus b
+      |  ON a.walk = b.walk AND a.step <> b.step AND abs(a.step - b.step) <= 2
+      |GROUP BY 1, 2, 3""".stripMargin
 
   private lazy val triangleOracle: String = EventGraph.sqlBase +
     """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),

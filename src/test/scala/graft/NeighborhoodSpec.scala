@@ -55,6 +55,16 @@ class NeighborhoodSpec extends AnyFunSuite {
     nf.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a - 1e-9) }
   }
 
+  test("harmonic centrality: star center ~= leaf count, leaves exactly 0") {
+    val star = graphOf((1L to 400L).map(i => (0L, i)), 4)
+    val hc = Neighborhood.harmonicCentrality(star, maxH = 3, k = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // center reaches 400 leaves all at distance 1: H(center) = 400
+    assert(math.abs(hc(0L) - 400.0) / 400.0 < 0.35, s"center ${hc(0L)}")
+    // leaves reach nothing: registers never change, diffs identically 0
+    (1L to 400L).foreach(l => assert(hc(l) === 0.0, s"leaf $l"))
+  }
+
   test("effective diameter: star saturates by hop 1, chain grows linearly") {
     val star = graphOf((1L to 400L).map(i => (0L, i)), 4)
     assert(Neighborhood.effectiveDiameter(star, q = 0.9, maxH = 3, k = 32) <= 1.5)

@@ -45,6 +45,17 @@ class RandomWalksSpec extends AnyFunSuite {
     assert(c.count(_._1.startsWith("1#")) === 9) // 3 walks x steps 0,1,2
   }
 
+  test("skip-gram pairs: exactly the within-window ordered pairs, offsets signed") {
+    // chain 1 -> 2 -> 3: one walk visits 1,2,3 at steps 0,1,2
+    val c = RandomWalks.corpus(graphOf(Seq((1L, 2L), (2L, 3L))), 1, 5)
+    val pairs = RandomWalks.skipGramPairs(c, window = 1)
+      .filter(col("center") =!= col("context") || col("offset") =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the walk from 1 contributes (1,2,+1),(2,1,-1),(2,3,+1),(3,2,-1);
+    // the walk from 2 contributes (2,3,+1),(3,2,-1) again (set-collapsed)
+    assert(pairs === Set((1L, 2L, 1L), (2L, 1L, -1L), (2L, 3L, 1L), (3L, 2L, -1L)))
+  }
+
   test("picks spread over a hub's out-neighbors") {
     val star = graphOf((1L to 40L).map(l => (0L, l)))
     val firstHops = RandomWalks.corpus(star, walksPerVertex = 8, length = 1)
