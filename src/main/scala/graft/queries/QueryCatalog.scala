@@ -233,7 +233,11 @@ object QueryCatalog {
       RandomWalks.skipGramPairs(
           RandomWalks.corpus(richGraph(s, dir), walksPerVertex = 2, length = 4),
           window = 2)
-        .groupBy("center", "context", "offset").agg(count(lit(1)).as("n")))
+        .groupBy("center", "context", "offset").agg(count(lit(1)).as("n"))),
+    // deterministic Luby MIS (fixed md5 priorities, synchronous rounds to
+    // convergence); the oracle unrolls 12 rounds over the same undirected
+    // simple view — extra rounds are no-ops at the fixpoint
+    "g_mis" -> ((s, dir) => Mis.membership(richGraph(s, dir)))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -384,7 +388,8 @@ object QueryCatalog {
     "g_kcore" -> kcoreUnrolled,
     "g_neigh" -> neighUnrolled,
     "g_walks" -> walksUnrolled,
-    "g_walk_pairs" -> walkPairsUnrolled
+    "g_walk_pairs" -> walkPairsUnrolled,
+    "g_mis" -> misUnrolled
   )
 
   /** Triangle participation (each triangle credits all three corners) over
@@ -503,6 +508,38 @@ object QueryCatalog {
       |FROM corpus a JOIN corpus b
       |  ON a.walk = b.walk AND a.step <> b.step AND abs(a.step - b.step) <= 2
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** MIS twin: the engine's synchronous rounds replayed exactly — per round
+    * an undecided vertex is excluded if any neighbor is in, else joins when
+    * its (priority, id) beats the max over undecided neighbors. Priorities
+    * encode the engine's struct(pri, id) order as pri·2^20 + id (event ids
+    * stay < 2^20 at driver scale, so the orders coincide). */
+  private lazy val misUnrolled: String = {
+    val rounds = (1 to 12).map { r =>
+      // MATERIALIZED: each round references the previous TWICE; DuckDB
+      // inlines plain CTEs, which would make the base scan count double per
+      // round (2^12 parquet opens — measured "too many open files")
+      s"""st$r AS MATERIALIZED (
+         |  SELECT s.id, s.p,
+         |    CASE WHEN s.st <> 0 THEN s.st
+         |         WHEN coalesce(m.anymis, 0) = 1 THEN 2
+         |         WHEN m.maxu IS NULL OR m.maxu < s.p THEN 1
+         |         ELSE 0 END AS st
+         |  FROM st${r - 1} s LEFT JOIN (
+         |    SELECT u.a AS id,
+         |           max(CASE WHEN n.st = 1 THEN 1 ELSE 0 END) AS anymis,
+         |           max(CASE WHEN n.st = 0 THEN n.p END) AS maxu
+         |    FROM und u JOIN st${r - 1} n ON n.id = u.b
+         |    WHERE n.st < 2
+         |    GROUP BY 1) m ON m.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+         |und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+         |st0 AS (SELECT id, ${hexI("md5(id || ':p')")} * 1048576 + id AS p, 0 AS st FROM rv),
+         |$rounds
+         |SELECT id, (st = 1) AS in_mis FROM st12""".stripMargin
+  }
 
   private lazy val triangleOracle: String = EventGraph.sqlBase +
     """, dag AS (SELECT DISTINCT least(src,dst) AS src, greatest(src,dst) AS dst FROM rich WHERE src <> dst),
