@@ -237,7 +237,11 @@ object QueryCatalog {
     // deterministic Luby MIS (fixed md5 priorities, synchronous rounds to
     // convergence); the oracle unrolls 12 rounds over the same undirected
     // simple view — extra rounds are no-ops at the fixpoint
-    "g_mis" -> ((s, dir) => Mis.membership(richGraph(s, dir)))
+    "g_mis" -> ((s, dir) => Mis.membership(richGraph(s, dir))),
+    // Jones-Plassmann greedy coloring on the same fixed priorities (the
+    // engine's 3-op shape: gather compares sender vs receiver priority);
+    // oracle unrolls 18 rounds, measured depth 12 at sf0.01
+    "g_coloring" -> ((s, dir) => Coloring.colors(richGraph(s, dir)))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -389,7 +393,8 @@ object QueryCatalog {
     "g_neigh" -> neighUnrolled,
     "g_walks" -> walksUnrolled,
     "g_walk_pairs" -> walkPairsUnrolled,
-    "g_mis" -> misUnrolled
+    "g_mis" -> misUnrolled,
+    "g_coloring" -> coloringUnrolled
   )
 
   /** Triangle participation (each triangle credits all three corners) over
@@ -539,6 +544,38 @@ object QueryCatalog {
          |st0 AS (SELECT id, ${hexI("md5(id || ':p')")} * 1048576 + id AS p, 0 AS st FROM rv),
          |$rounds
          |SELECT id, (st = 1) AS in_mis FROM st12""".stripMargin
+  }
+
+  /** Jones–Plassmann twin: per round, messages = higher-priority neighbors'
+    * states; an uncolored vertex with no uncolored higher neighbor takes
+    * mex(their colors) via a correlated generate_series anti-join. Rounds
+    * and state CTEs MATERIALIZED (multi-referenced — see misUnrolled). */
+  private lazy val coloringUnrolled: String = {
+    val rounds = (1 to 18).map { r =>
+      s"""msgs$r AS MATERIALIZED (
+         |  SELECT u.a AS id, n.c
+         |  FROM und u JOIN c${r - 1} n ON n.id = u.b JOIN c${r - 1} s ON s.id = u.a
+         |  WHERE n.p > s.p),
+         |nu$r AS (SELECT id, count(DISTINCT CASE WHEN c >= 0 THEN c END) AS nu,
+         |                max(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS anyunc
+         |         FROM msgs$r GROUP BY 1),
+         |mex$r AS (SELECT t.id, min(t.g) AS mex FROM (
+         |            SELECT id, unnest(generate_series(0, nu)) AS g FROM nu$r) t
+         |          WHERE NOT EXISTS (SELECT 1 FROM msgs$r m WHERE m.id = t.id AND m.c = t.g)
+         |          GROUP BY 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT s.id, s.p,
+         |    CASE WHEN s.c >= 0 THEN s.c
+         |         WHEN coalesce(a.anyunc, 0) = 1 THEN -1
+         |         ELSE coalesce(x.mex, 0) END AS c
+         |  FROM c${r - 1} s LEFT JOIN nu$r a ON a.id = s.id LEFT JOIN mex$r x ON x.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+         |und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+         |c0 AS (SELECT id, ${hexI("md5(id || ':p')")} * 1048576 + id AS p, -1 AS c FROM rv),
+         |$rounds
+         |SELECT id, c AS color FROM c18""".stripMargin
   }
 
   private lazy val triangleOracle: String = EventGraph.sqlBase +
