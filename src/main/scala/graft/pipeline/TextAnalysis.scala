@@ -85,4 +85,124 @@ object TextAnalysis {
       array_min(transform(sequence(lit(1), n),
         i => md5(concat_ws(" ", slice(toks, i, lit(k)))))).as("fingerprint"))
   }
+
+  /** (id, token) pairs — lowered whitespace tokens, one row per occurrence.
+    * The shared front end of the retrieval-shaped operators below; a single
+    * explode, no shuffle until the caller aggregates. */
+  def tokenRows(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"), explode(split(trim(lower(text)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /**
+   * Inverted index summary: per term, document frequency, total term
+   * frequency, and the smallest posting (doc id). One explode + one hash
+   * aggregation — at 100 TB this is a single shuffle on the term key with
+   * map-side partial aggregation; the full postings lists stay distributed
+   * (this summary is what a driver would ever collect).
+   */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column): DataFrame =
+    tokenRows(docs, id, text)
+      .groupBy("term")
+      .agg(countDistinct("id").as("df"), count(lit(1)).as("tf_total"),
+        min("id").as("min_doc"))
+
+  /**
+   * Top-k TF-IDF terms per document. Ranking is fully DISCRETE — (tf desc,
+   * df asc, term asc) — so the cross-engine order never hinges on a last-ulp
+   * `ln` difference; the reported tfidf = tf * ln(N/df) is rounded. The
+   * window partitions by doc (bounded per-group width), the df side is one
+   * small aggregate joined back on the term key.
+   */
+  def tfIdfTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenRows(docs, id, text)
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("term", "id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(id).distinct().count()
+    val w = Window.partitionBy("id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk").cast("long").as("rk"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")) + 1e-9, 6).as("tfidf"))
+  }
+
+  /**
+   * BM25 (k1=1.2, b=0.75) of a fixed bag-of-words query against every
+   * document; rows with score 0 (no query term present) are dropped. The
+   * query-term table is tiny → broadcast join against the exploded tokens;
+   * df and avgdl are two scalar-sized aggregates. Lucene-style idf:
+   * ln(1 + (N - df + 0.5)/(df + 0.5)).
+   */
+  def bm25(docs: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokenRows(docs, id, text)
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val n = docs.select(id).distinct().count()
+    val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+    val q = queryTerms.toDF("term")
+    val tf = toks.join(broadcast(q), "term").groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select("term", "id").distinct().join(broadcast(q), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(df), "term").join(dl, "id")
+      .groupBy("id")
+      .agg(round(sum(idf * norm) + 1e-9, 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Distinct lowered token n-grams per doc (the decontamination unit). */
+  def ngramSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = split(trim(lower(text)), "\\s+")
+    docs.select(id.as("id"),
+        explode(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as("ngram"))
+      .distinct()
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing any token
+   * n-gram with a benchmark set. Returns (id, n_shared distinct n-grams,
+   * min overlapping benchmark doc). At scale the benchmark side is small →
+   * broadcast; the corpus side is one explode, no all-pairs anything.
+   */
+  def decontamOverlap(corpus: DataFrame, bench: DataFrame, n: Int): DataFrame =
+    corpus.join(broadcast(bench.withColumnRenamed("id", "bench_id")), "ngram")
+      .groupBy("id")
+      .agg(countDistinct("ngram").as("n_shared"), min("bench_id").as("min_bench"))
+
+  /**
+   * Gopher-style repetition features: top-token fraction, distinct/total
+   * token ratio, duplicate 3-gram fraction. All counts are integers; the
+   * three reported ratios are rounded. Single pass per doc — Column algebra
+   * over the token array, no shuffle at all.
+   */
+  def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val total = when(length(trim(text)) === 0, 0).otherwise(size(toks))
+    val nDistinct = size(array_distinct(toks))
+    // top-token count: max over distinct tokens of their occurrence count
+    val topTok = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val n3 = greatest(size(toks) - 2, lit(0))
+    val grams = transform(sequence(lit(1), greatest(n3, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val dup3 = when(n3 > 0, n3 - size(array_distinct(grams))).otherwise(0)
+    docs.select(id.as("id"), total.cast("long").as("n_tokens"),
+      nDistinct.cast("long").as("n_distinct"), topTok.cast("long").as("top_tok"),
+      dup3.cast("long").as("dup_3grams"),
+      round(when(total > 0, topTok.cast("double") / total).otherwise(0.0) + 1e-9, 6)
+        .as("top_tok_frac"),
+      round(when(total > 0, nDistinct.cast("double") / total).otherwise(0.0) + 1e-9, 6)
+        .as("distinct_frac"),
+      round(when(n3 > 0, dup3.cast("double") / n3).otherwise(0.0) + 1e-9, 6)
+        .as("dup_3gram_frac"))
+  }
 }

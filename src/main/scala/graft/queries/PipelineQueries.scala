@@ -138,7 +138,38 @@ object PipelineQueries {
 
     "m_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.fakeAssets(docs(s, dir), col("doc_id"), col("text"))))
+        Multimodal.fakeAssets(docs(s, dir), col("doc_id"), col("text")))),
+
+    // ---- retrieval / decontamination / repetition (round-4 additions) ----
+
+    // inverted-index summary: one explode + one term-key aggregation
+    "t_invindex" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir), col("doc_id"), col("text"))),
+
+    // top-3 TF-IDF terms per doc; DISCRETE rank keys (tf desc, df asc,
+    // term asc) so cross-engine order never hinges on a last-ulp ln()
+    "t_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopK(docs(s, dir), col("doc_id"), col("text"), 3)),
+
+    // BM25 of a fixed bag-of-words query against the whole corpus
+    "t_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), col("doc_id"), col("text"),
+        Seq("hash", "table", "merge", "scan"))),
+
+    // benchmark decontamination: corpus docs sharing any token 4-gram with
+    // the %97 benchmark sample (broadcast bench side)
+    "t_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = TextAnalysis.ngramSet(
+        d.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"), 4)
+      val bench = TextAnalysis.ngramSet(
+        d.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"), 4)
+      TextAnalysis.decontamOverlap(corpus, bench, 4)
+    }),
+
+    // Gopher-style repetition features, integer counts + rounded ratios
+    "t_repeat" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir), col("doc_id"), col("text")))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -549,6 +580,84 @@ object PipelineQueries {
         |  CAST(max(CASE WHEN k = 1 THEN b END) % 64 + 1 AS INT) AS width,
         |  CAST(max(CASE WHEN k = 2 THEN b END) % 64 + 1 AS INT) AS height,
         |  sum(b) * 1.0 / 16 AS mean_byte
-        |FROM bytes GROUP BY 1""".stripMargin
+        |FROM bytes GROUP BY 1""".stripMargin,
+
+    // ---- retrieval / decontamination / repetition (round-4 additions) ----
+
+    "t_invindex" -> (tokSql +
+      """SELECT term, count(DISTINCT id) AS df, count(*) AS tf_total, min(id) AS min_doc
+        |FROM toks GROUP BY 1""".stripMargin),
+
+    "t_tfidf" -> (tokSql +
+      """, tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (
+        |  SELECT tf.id, tf.term, tf.tf, df.df,
+        |         row_number() OVER (PARTITION BY tf.id
+        |                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+        |  FROM tf JOIN df USING (term))
+        |SELECT id, rk, term, tf, df,
+        |       round(tf * ln(n.n * 1.0 / df) + 1e-9, 6) AS tfidf
+        |FROM ranked, n WHERE rk <= 3""".stripMargin),
+
+    "t_bm25" -> (tokSql +
+      """, q AS (SELECT unnest(['hash', 'table', 'merge', 'scan']) AS term),
+        |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks JOIN q USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT id) AS df
+        |       FROM toks JOIN q USING (term) GROUP BY 1)
+        |SELECT tf.id,
+        |  round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+        |            * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)))
+        |        + 1e-9, 6) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN df USING (term) JOIN dl USING (id), n, avgdl
+        |GROUP BY 1""".stripMargin),
+
+    "t_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS ngram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-3, 1))) AS i) g),
+        |corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT * FROM grams WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id AS id, count(DISTINCT c.ngram) AS n_shared,
+        |       min(b.doc_id) AS min_bench
+        |FROM corpus c JOIN bench b USING (ngram)
+        |GROUP BY 1""".stripMargin,
+
+    "t_repeat" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+        |                  length(trim(text)) AS lt FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lt = 0 THEN 0 ELSE len(t) END AS total,
+        |    len(list_distinct(t)) AS n_distinct,
+        |    list_max(list_transform(list_distinct(t),
+        |                            x -> len(list_filter(t, y -> y = x)))) AS top_tok,
+        |    greatest(len(t) - 2, 0) AS n3,
+        |    len(list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+        |                                     i -> array_to_string(t[i:i+2], ' ')))) AS d3
+        |  FROM t)
+        |SELECT doc_id AS id, CAST(total AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, CAST(top_tok AS BIGINT) AS top_tok,
+        |  CAST(CASE WHEN n3 > 0 THEN n3 - d3 ELSE 0 END AS BIGINT) AS dup_3grams,
+        |  round(CASE WHEN total > 0 THEN top_tok * 1.0 / total ELSE 0 END + 1e-9, 6) AS top_tok_frac,
+        |  round(CASE WHEN total > 0 THEN n_distinct * 1.0 / total ELSE 0 END + 1e-9, 6) AS distinct_frac,
+        |  round(CASE WHEN n3 > 0 THEN (n3 - d3) * 1.0 / n3 ELSE 0 END + 1e-9, 6) AS dup_3gram_frac
+        |FROM base""".stripMargin
   )
+
+  /** Shared lowered-whitespace-token CTE for the retrieval twins — matches
+    * TextAnalysis.tokenRows (trim + lower + split, empty tokens dropped). */
+  private def tokSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, tok AS term
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |        FROM documents) t
+      |  WHERE length(tok) > 0)
+      |""".stripMargin
 }

@@ -241,7 +241,21 @@ object QueryCatalog {
     // Jones-Plassmann greedy coloring on the same fixed priorities (the
     // engine's 3-op shape: gather compares sender vs receiver priority);
     // oracle unrolls 18 rounds, measured depth 12 at sf0.01
-    "g_coloring" -> ((s, dir) => Coloring.colors(richGraph(s, dir)))
+    "g_coloring" -> ((s, dir) => Coloring.colors(richGraph(s, dir))),
+    // locally-dominant greedy maximal matching on fixed md5 edge keys (the
+    // propose/handshake rounds alternate on a phase bit in vertex state);
+    // oracle unrolls 9 rounds — extra rounds are no-ops at the fixpoint
+    "g_matching" -> ((s, dir) => Matching.pairs(richGraph(s, dir))),
+    // Newman modularity of the 2-iteration LP partition over the undirected
+    // simple view — the quality fold on top of the g_lp gate's labels
+    "g_modularity" -> ((s, dir) => {
+      val g = richGraph(s, dir)
+      Modularity.score(g,
+        LabelPropagation.run(g, iterations = 2).state.select("id", "label"))
+    }),
+    // 3-truss peel: every surviving edge sits in ≥1 triangle within the
+    // survivor set; the oracle unrolls 6 peel rounds (fixpoint ≤4 measured)
+    "g_ktruss" -> ((s, dir) => KTruss.edges(richGraph(s, dir), 3))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -274,7 +288,9 @@ object QueryCatalog {
       |SELECT m.id, round(m.c - s0.c + 1e-9, 6) AS dist FROM cum m, s0
       |WHERE m.user_id = s0.user_id AND m.bkt = s0.bkt AND m.rn >= s0.rn""".stripMargin
 
-  private val lpUnrolled: String = {
+  /** LP rounds as a WITH prologue (labels land in l2) — shared by the g_lp
+    * twins and the modularity fold on top of them. */
+  private val lpWith: String = {
     def round(k: Int) =
       s"""n$k AS (SELECT u.dst AS id, l.label, count(*) AS c
          |  FROM und u JOIN l${k - 1} l ON l.id = u.src GROUP BY 1, 2),
@@ -287,7 +303,82 @@ object QueryCatalog {
          |l0 AS (SELECT id, id AS label FROM rv),
          |${round(1)},
          |${round(2)}
-         |SELECT id, label FROM l2""".stripMargin
+         |""".stripMargin
+  }
+
+  private val lpUnrolled: String = lpWith + "SELECT id, label FROM l2"
+
+  /** Modularity twin: the LP labels (l2), then Q = Σ_c [e_c/m − (d_c/2m)²]
+    * over the canonical simple view. */
+  private lazy val modularityOracle: String = lpWith +
+    """, tg AS (SELECT la.label AS la, lb.label AS lb
+      |         FROM canon JOIN l2 la ON la.id = canon.a JOIN l2 lb ON lb.id = canon.b),
+      |mm AS (SELECT count(*) AS m FROM canon),
+      |deg AS (SELECT c, count(*) AS d
+      |        FROM (SELECT la AS c FROM tg UNION ALL SELECT lb FROM tg) q GROUP BY 1),
+      |intra AS (SELECT la AS c, count(*) AS e FROM tg WHERE la = lb GROUP BY 1)
+      |SELECT mm.m AS m, count(*) AS n_communities,
+      |       round(sum(coalesce(i.e, 0) * 1.0 / mm.m - pow(d.d / (2.0 * mm.m), 2)) + 1e-9, 6) AS modularity
+      |FROM deg d LEFT JOIN intra i ON i.c = d.c, mm
+      |GROUP BY mm.m""".stripMargin
+
+  /** Matching twin: 9 unrolled propose/handshake rounds on the same edge
+    * keys the engine uses — key = pri16·2^40 + a·2^20 + b. */
+  private lazy val matchingUnrolled: String = {
+    val key = s"(${hexI("md5(least(u.a,u.b) || ':' || greatest(u.a,u.b) || ':m')")} % 65536)" +
+      " * 1099511627776 + least(u.a,u.b) * 1048576 + greatest(u.a,u.b)"
+    val rounds = (1 to 9).map { r =>
+      s"""cd$r AS MATERIALIZED (
+         |  SELECT u.a AS id, max($key) AS mk
+         |  FROM und u JOIN st${r - 1} sa ON sa.id = u.a JOIN st${r - 1} sb ON sb.id = u.b
+         |  WHERE sa.mate = -1 AND sb.mate = -1
+         |  GROUP BY 1),
+         |cn$r AS MATERIALIZED (
+         |  SELECT id, CASE WHEN ((mk >> 20) & 1048575) = id THEN mk & 1048575
+         |                  ELSE (mk >> 20) & 1048575 END AS cand FROM cd$r),
+         |st$r AS MATERIALIZED (
+         |  SELECT s.id,
+         |    CASE WHEN s.mate <> -1 THEN s.mate
+         |         WHEN c2.cand = s.id THEN c1.cand
+         |         ELSE -1 END AS mate
+         |  FROM st${r - 1} s
+         |  LEFT JOIN cn$r c1 ON c1.id = s.id
+         |  LEFT JOIN cn$r c2 ON c2.id = c1.cand)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+         |und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+         |st0 AS (SELECT id, CAST(-1 AS BIGINT) AS mate FROM rv),
+         |$rounds
+         |SELECT id, mate FROM st9""".stripMargin
+  }
+
+  /** 3-truss twin: 6 unrolled support-peel rounds over the canonical simple
+    * view, then the fixpoint support recount. */
+  private lazy val ktrussUnrolled: String = {
+    def sup(r: Int, src: String) =
+      s"""sup$r AS (
+         |  SELECT e.a, e.b, count(*) AS s
+         |  FROM $src e JOIN u${r - 1} x ON x.a = e.a
+         |  JOIN u${r - 1} y ON y.a = e.b AND y.b = x.b
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to 6).map { r =>
+      s"""${sup(r, s"t${r - 1}")},
+         |t$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM t${r - 1} e JOIN sup$r s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.s >= 1),
+         |u$r AS (SELECT a, b FROM t$r UNION ALL SELECT b AS a, a AS b FROM t$r)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", t0 AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+         |u0 AS (SELECT a, b FROM t0 UNION ALL SELECT b AS a, a AS b FROM t0),
+         |$rounds,
+         |fin AS (
+         |  SELECT e.a, e.b, count(*) AS support
+         |  FROM t6 e JOIN u6 x ON x.a = e.a
+         |  JOIN u6 y ON y.a = e.b AND y.b = x.b
+         |  GROUP BY 1, 2)
+         |SELECT a, b, support FROM fin""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -394,7 +485,10 @@ object QueryCatalog {
     "g_walks" -> walksUnrolled,
     "g_walk_pairs" -> walkPairsUnrolled,
     "g_mis" -> misUnrolled,
-    "g_coloring" -> coloringUnrolled
+    "g_coloring" -> coloringUnrolled,
+    "g_matching" -> matchingUnrolled,
+    "g_modularity" -> modularityOracle,
+    "g_ktruss" -> ktrussUnrolled
   )
 
   /** Triangle participation (each triangle credits all three corners) over
