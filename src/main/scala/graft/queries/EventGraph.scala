@@ -82,6 +82,61 @@ object EventGraph {
       .select(col("event_id").as("src"), col("nxt").as("dst"),
               (lit(1.0) + abs(col("nxtVal"))).as("weight"))
 
+  /**
+   * Directed CYCLIC bucket graph — the SCC fixture. Each 10-row bucket is
+   * closed into a cycle (its chain edges plus one wrap edge last→first),
+   * with forward chords rn→rn+2 and rn→rn+4 inside the bucket to keep the
+   * cycle's diameter small, and one cross edge from each bucket's first
+   * vertex to the next bucket's first vertex — confined to groups of 8
+   * buckets, so each weakly-connected piece is a path of ≤8 cycles and the
+   * graph diameter is BOUNDED at any events-per-user (an unbounded cross
+   * chain would make the SCC refinement's first forward HashMin walk the
+   * whole user stream). Every cross edge goes strictly forward in bucket
+   * order, so the SCCs are EXACTLY the buckets and the oracle has the
+   * closed form scc = min(event_id) per (user_id, bucket) —
+   * algorithm-independent, no unrolling.
+   */
+  def cyclicBucketEdges(ev: DataFrame): DataFrame = {
+    val base = ev.select(
+        col("event_id"), col("user_id"),
+        row_number().over(byUser).as("rn"),
+        lead("event_id", 1).over(byUser).as("nxt1"),
+        lead("event_id", 2).over(byUser).as("nxt2"),
+        lead("event_id", 4).over(byUser).as("nxt4"))
+      .withColumn("bkt", floor((col("rn") - 1) / 10).cast("long"))
+    val chain = base.filter(col("nxt1").isNotNull && col("rn") % 10 =!= 0)
+      .select(col("event_id").as("src"), col("nxt1").as("dst"))
+    val chord2 = base.filter(col("nxt2").isNotNull && (col("rn") - 1) % 10 <= 7)
+      .select(col("event_id").as("src"), col("nxt2").as("dst"))
+    val chord4 = base.filter(col("nxt4").isNotNull && (col("rn") - 1) % 10 <= 5)
+      .select(col("event_id").as("src"), col("nxt4").as("dst"))
+    val wB = Window.partitionBy("user_id", "bkt").orderBy("rn")
+    val wBfull = wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = base.select(
+      col("event_id"), col("user_id"), col("bkt"),
+      first("event_id").over(wB).as("first_id"),
+      last("event_id").over(wBfull).as("last_id"),
+      count(lit(1)).over(wBfull).as("bsz"))
+    val wrap = marked
+      .filter(col("event_id") === col("last_id") && col("bsz") >= 2)
+      .select(col("last_id").as("src"), col("first_id").as("dst"))
+    val wU = Window.partitionBy("user_id").orderBy("bkt")
+    val cross = marked.filter(col("event_id") === col("first_id"))
+      .select(col("event_id").as("src"), col("bkt"),
+              lead("event_id", 1).over(wU).as("dst"),
+              lead("bsz", 1).over(wU).as("nbsz"))
+      .filter(col("dst").isNotNull &&
+              // group boundary: cut every 8th cross edge — EXCEPT into a
+              // trailing singleton bucket (wrap needs ≥2, so cutting would
+              // isolate that vertex; keeping it adds ≤1 hop to the group)
+              (col("bkt") % 8 =!= 7 || col("nbsz") === 1))
+      .select("src", "dst")
+    // the four sets are pairwise disjoint by construction (distinct rn gaps;
+    // wrap runs backward; cross spans a 10-row boundary chain never crosses)
+    chain.union(chord2).union(chord4).union(wrap).union(cross)
+      .withColumn("weight", lit(1.0))
+  }
+
   def richGraph(spark: SparkSession, dir: String): LinkGraph =
     LinkGraph(richEdges(events(spark, dir)))
 

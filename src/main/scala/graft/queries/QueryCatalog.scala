@@ -255,7 +255,14 @@ object QueryCatalog {
     }),
     // 3-truss peel: every surviving edge sits in ≥1 triangle within the
     // survivor set; the oracle unrolls 6 peel rounds (fixpoint ≤4 measured)
-    "g_ktruss" -> ((s, dir) => KTruss.edges(richGraph(s, dir), 3))
+    "g_ktruss" -> ((s, dir) => KTruss.edges(richGraph(s, dir), 3)),
+    // strongly connected components by forward-backward min-label refinement
+    // on the cyclic bucket graph: each 10-row bucket is one cycle, cross
+    // edges go strictly forward, so the true SCC partition has the closed
+    // form scc = min(event_id) per (user, bucket) — the oracle states the
+    // ANSWER, not a replay, making this gate algorithm-independent
+    "g_scc" -> ((s, dir) =>
+      Scc.run(graft.core.LinkGraph(cyclicBucketEdges(events(s, dir)))))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -381,6 +388,21 @@ object QueryCatalog {
          |SELECT a, b, support FROM fin""".stripMargin
   }
 
+  /** SCC twin: the cyclic bucket graph's components ARE the buckets (every
+    * cross edge is forward in bucket order), so the oracle is the closed
+    * form — min event id per (user, bucket), over users with ≥2 events
+    * (a 1-event user yields no edges, hence no vertex on the Spark side). */
+  private val sccOracle: String = EventGraph.sqlBase +
+    """, sv AS (
+      |  SELECT event_id, user_id, CAST(floor((rn-1)/10) AS BIGINT) AS bkt
+      |  FROM base),
+      |uc AS (SELECT user_id FROM sv GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT s.event_id AS id, m.scc
+      |FROM sv s
+      |JOIN (SELECT user_id, bkt, min(event_id) AS scc FROM sv GROUP BY 1, 2) m
+      |  USING (user_id, bkt)
+      |JOIN uc USING (user_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
     "q_join" ->
@@ -488,7 +510,8 @@ object QueryCatalog {
     "g_coloring" -> coloringUnrolled,
     "g_matching" -> matchingUnrolled,
     "g_modularity" -> modularityOracle,
-    "g_ktruss" -> ktrussUnrolled
+    "g_ktruss" -> ktrussUnrolled,
+    "g_scc" -> sccOracle
   )
 
   /** Triangle participation (each triangle credits all three corners) over
