@@ -169,8 +169,37 @@ object PipelineQueries {
 
     // Gopher-style repetition features, integer counts + rounded ratios
     "t_repeat" -> ((s, dir) =>
-      TextAnalysis.repetition(docs(s, dir), col("doc_id"), col("text")))
+      TextAnalysis.repetition(docs(s, dir), col("doc_id"), col("text"))),
+
+    // ---- deterministic sampling + span-level dedup ----
+
+    // stratified md5-threshold sample: rebalance the corpus by language;
+    // keep/drop is an exact integer compare, replayed bit-for-bit in SQL
+    "d_sample" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir), col("doc_id"), col("lang"),
+          sampleRates, defaultRate = 0.5, salt = sampleSalt)
+        .select("doc_id", "lang")),
+
+    // coverage twin of d_sample: per-stratum population / kept / achieved
+    // rate — skew introduced by sampling is visible in one small relation
+    "d_sample_cov" -> ((s, dir) =>
+      Sampling.stratifiedCoverage(docs(s, dir), col("doc_id"), col("lang"),
+        sampleRates, defaultRate = 0.5, salt = sampleSalt)),
+
+    // span-level exact dedup: every 8-token window occurring >1 time
+    // corpus-wide, at every site (doc, position)
+    "t_dupspans" -> ((s, dir) =>
+      Spans.duplicatedSpans(docs(s, dir), col("doc_id"), col("text"), 8)),
+
+    // per-document duplication profile over the same windows
+    "t_spanprofile" -> ((s, dir) =>
+      Spans.spanProfile(docs(s, dir), col("doc_id"), col("text"), 8))
   )
+
+  /** d_sample strata: downsample the dominant language, keep the rest near
+    * parity (rates chosen so every stratum exercises a distinct threshold). */
+  private val sampleRates = Map("en" -> 0.35, "zh" -> 0.8, "fr" -> 0.6)
+  private val sampleSalt = "r4"
 
   // ---------- DuckDB oracle twins ----------
 
@@ -648,8 +677,60 @@ object PipelineQueries {
         |  round(CASE WHEN total > 0 THEN top_tok * 1.0 / total ELSE 0 END + 1e-9, 6) AS top_tok_frac,
         |  round(CASE WHEN total > 0 THEN n_distinct * 1.0 / total ELSE 0 END + 1e-9, 6) AS distinct_frac,
         |  round(CASE WHEN n3 > 0 THEN (n3 - d3) * 1.0 / n3 ELSE 0 END + 1e-9, 6) AS dup_3gram_frac
-        |FROM base""".stripMargin
+        |FROM base""".stripMargin,
+
+    // ---- deterministic sampling + span-level dedup ----
+
+    "d_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hexI(s"md5(doc_id || ':$sampleSalt')")} < $sampleThrSql""".stripMargin,
+
+    "d_sample_cov" ->
+      s"""SELECT lang AS stratum, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN ${hexI(s"md5(doc_id || ':$sampleSalt')")} < $sampleThrSql
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN ${hexI(s"md5(doc_id || ':$sampleSalt')")} < $sampleThrSql
+         |             THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*) + 1e-9, 6) AS achieved_rate
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "t_dupspans" -> (spanSql +
+      "SELECT doc_id, pos, h, n_occurrences FROM g JOIN hot USING (h)"),
+
+    "t_spanprofile" -> (spanSql +
+      """, d AS (SELECT doc_id, count(*) AS n_dup_windows,
+        |               max(n_occurrences) AS max_occurrences
+        |        FROM g JOIN hot USING (h) GROUP BY 1)
+        |SELECT t.doc_id, greatest(len(t.t) - 7, 0) AS n_windows,
+        |       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+        |       coalesce(d.max_occurrences, 0) AS max_occurrences
+        |FROM toks t LEFT JOIN d USING (doc_id)""".stripMargin)
   )
+
+  /** md5 hex prefix → exact 32-bit integer (BIGINT arithmetic end to end —
+    * the twin of Sampling.bucket's conv(substring(md5(..),1,8),16,10)). */
+  private def hexI(hexExpr: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** Per-stratum integer thresholds, generated from the SAME Map and the
+    * SAME Sampling.threshold the Spark gate uses — the two sides cannot
+    * drift. */
+  private def sampleThrSql: String = {
+    val cases = sampleRates.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"WHEN '$k' THEN ${Sampling.threshold(r)}" }.mkString(" ")
+    s"(CASE lang $cases ELSE ${Sampling.threshold(0.5)} END)"
+  }
+
+  /** Shared 8-token-window CTE for the span twins — matches
+    * Spans.windowHashes (trim + whitespace split, 1-based positions). */
+  private def spanSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g AS (SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+      |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u
+      |      WHERE len(t) >= 8),
+      |hot AS (SELECT h, count(*) AS n_occurrences FROM g GROUP BY 1 HAVING count(*) > 1)
+      |""".stripMargin
 
   /** Shared lowered-whitespace-token CTE for the retrieval twins — matches
     * TextAnalysis.tokenRows (trim + lower + split, empty tokens dropped). */

@@ -262,7 +262,18 @@ object QueryCatalog {
     // form scc = min(event_id) per (user, bucket) — the oracle states the
     // ANSWER, not a replay, making this gate algorithm-independent
     "g_scc" -> ((s, dir) =>
-      Scc.run(graft.core.LinkGraph(cyclicBucketEdges(events(s, dir)))))
+      Scc.run(graft.core.LinkGraph(cyclicBucketEdges(events(s, dir))))),
+    // HITS hubs/authorities: 5 full update rounds with L2 normalization,
+    // unrolled exactly in the twin (norms are scalar subqueries)
+    "g_hits" -> ((s, dir) =>
+      Hits.run(richGraph(s, dir), iterations = 5)
+        .select(col("id"), round(col("hub") + 1e-9, 6).as("hub"),
+                round(col("auth") + 1e-9, 6).as("auth"))),
+    // Adamic-Adar link prediction: top-20 non-adjacent pairs by shared-
+    // neighbor score; scores rounded BEFORE ranking so the k-cut can't
+    // hinge on summation-order ulps
+    "g_linkpred" -> ((s, dir) =>
+      LinkPrediction.adamicAdar(richGraph(s, dir), k = 20))
   )
 
   // ---------- DuckDB oracle twins ----------
@@ -403,6 +414,43 @@ object QueryCatalog {
       |  USING (user_id, bkt)
       |JOIN uc USING (user_id)""".stripMargin
 
+  /** HITS twin: 5 unrolled update rounds; each half is one join+sum and an
+    * L2 scalar subquery — MATERIALIZED so the double reference (values +
+    * norm) never re-inlines the round below it. */
+  private lazy val hitsUnrolled: String = {
+    val iters = (1 to 5).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(h.h) AS x FROM rich e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT rv.id, coalesce(ar$k.x, 0) / (SELECT sqrt(sum(x*x)) FROM ar$k) AS a
+         |  FROM rv LEFT JOIN ar$k ON ar$k.id = rv.id),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS id, sum(a.a) AS x FROM rich e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT rv.id, coalesce(hr$k.x, 0) / (SELECT sqrt(sum(x*x)) FROM hr$k) AS h
+         |  FROM rv LEFT JOIN hr$k ON hr$k.id = rv.id)""".stripMargin
+    }.mkString(",\n")
+    EventGraph.sqlBase +
+      s""", h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM rv),
+         |$iters
+         |SELECT h5.id, round(h5.h + 1e-9, 6) AS hub, round(a5.a + 1e-9, 6) AS auth
+         |FROM h5 JOIN a5 ON a5.id = h5.id""".stripMargin
+  }
+
+  /** Adamic-Adar twin: same wedge enumeration in SQL; the top-20 cut ranks
+    * on the ROUNDED score with (a, b) tie-breaks, so both engines cut the
+    * identical set. */
+  private lazy val linkpredOracle: String = EventGraph.sqlBase +
+    """, canon AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM rich WHERE src <> dst),
+      |und AS (SELECT a AS w, b AS n FROM canon UNION ALL SELECT b, a FROM canon),
+      |deg AS (SELECT w, count(*) AS d FROM und GROUP BY 1),
+      |wed AS (SELECT u1.w, u1.n AS u, u2.n AS v, deg.d
+      |        FROM und u1 JOIN und u2 USING (w) JOIN deg USING (w) WHERE u1.n < u2.n),
+      |sc AS (SELECT u AS a, v AS b, count(*) AS common,
+      |              round(sum(1.0/ln(d)) + 1e-9, 6) AS score FROM wed GROUP BY 1, 2),
+      |fin AS (SELECT sc.* FROM sc LEFT JOIN canon c ON c.a = sc.a AND c.b = sc.b WHERE c.a IS NULL)
+      |SELECT a, b, common, score FROM fin ORDER BY score DESC, a, b LIMIT 20""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
     "q_join" ->
@@ -511,7 +559,9 @@ object QueryCatalog {
     "g_matching" -> matchingUnrolled,
     "g_modularity" -> modularityOracle,
     "g_ktruss" -> ktrussUnrolled,
-    "g_scc" -> sccOracle
+    "g_scc" -> sccOracle,
+    "g_hits" -> hitsUnrolled,
+    "g_linkpred" -> linkpredOracle
   )
 
   /** Triangle participation (each triangle credits all three corners) over
