@@ -261,8 +261,10 @@ object QueryCatalog {
     // edges go strictly forward, so the true SCC partition has the closed
     // form scc = min(event_id) per (user, bucket) — the oracle states the
     // ANSWER, not a replay, making this gate algorithm-independent
+    // runFast: refinement phases on the CSR (min,+) kernel — bit-equal to
+    // the column-engine Scc.run (SccSpec pins both against Tarjan)
     "g_scc" -> ((s, dir) =>
-      Scc.run(graft.core.LinkGraph(cyclicBucketEdges(events(s, dir))))),
+      Scc.runFast(graft.core.LinkGraph(cyclicBucketEdges(events(s, dir))))),
     // HITS hubs/authorities: 5 full update rounds with L2 normalization,
     // unrolled exactly in the twin (norms are scalar subqueries)
     "g_hits" -> ((s, dir) =>

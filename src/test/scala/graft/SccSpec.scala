@@ -45,9 +45,18 @@ class SccSpec extends AnyFunSuite {
     out.toMap
   }
 
-  private def sparkScc(es: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] =
-    Scc.run(graphOf(es, parts)).collect()
+  /** Runs BOTH engines (column Scc.run + CSR Scc.runFast) and asserts their
+    * partitions are bit-equal before returning — every shape in this spec
+    * pins the fast path against the semantics reference for free. */
+  private def sparkScc(es: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] = {
+    val g = graphOf(es, parts)
+    val slow = Scc.run(g).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Scc.runFast(graphOf(es, parts)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow, "CSR runFast diverged from column-engine run")
+    slow
+  }
 
   test("pure DAG: every vertex its own component") {
     val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
