@@ -138,16 +138,27 @@ object Scc {
     val nP = graph.numPartitions
     // see run(): the block filter re-reads the edges every round
     val edges = graph.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // done = F(v) == B(v): the shared label m both reaches v and is reached
+    // by v inside the block, so m ∈ SCC(v); and F ≤ min(SCC) always (the SCC
+    // min reaches v), so m IS min(SCC(v)) — v's final label. Every member of
+    // an SCC seals in the same round (mutually-reachable vertices share
+    // ancestor/descendant sets within their common block), so done vertices
+    // and their edges can drop out of all later rounds — the classic FB-SCC
+    // "remove the identified component and recurse on the remainder": the
+    // subgraph SHRINKS monotonically and the last round degenerates to one
+    // cheap emptiness check instead of two full fixpoints.
     var state = graph.vertices
-      .select(col("id"), lit(0L).as("bf"), lit(0L).as("bb"))
+      .select(col("id"), lit(0L).as("bf"), lit(0L).as("bb"),
+        lit(false).as("done"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
     var changed = 1L
     while (changed > 0) {
       if (round >= maxOuter)
         throw new IllegalStateException(s"Scc: no fixpoint after $maxOuter rounds")
-      val srcB = state.select(col("id").as("src"), col("bf").as("sbf"), col("bb").as("sbb"))
-      val dstB = state.select(col("id").as("dst"), col("bf").as("dbf"), col("bb").as("dbb"))
+      val live = state.filter(!col("done"))
+      val srcB = live.select(col("id").as("src"), col("bf").as("sbf"), col("bb").as("sbb"))
+      val dstB = live.select(col("id").as("dst"), col("bf").as("dbf"), col("bb").as("dbb"))
       val inBlock = edges
         .join(srcB, "src").join(dstB, "dst")
         .filter(col("sbf") === col("dbf") && col("sbb") === col("dbb"))
@@ -155,10 +166,12 @@ object Scc {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val (next, toFree) =
         if (inBlock.isEmpty) {
-          // no in-block edges: every vertex is alone — F = B = own id
+          // no edges among live vertices: each is alone — F = B = own id
           (state.select(col("id"),
-             col("id").as("nbf"), col("id").as("nbb"),
-             (col("id") =!= col("bf") || col("id") =!= col("bb")).as("chg")),
+             when(col("done"), col("bf")).otherwise(col("id")).as("nbf"),
+             when(col("done"), col("bb")).otherwise(col("id")).as("nbb"),
+             (!col("done") &&
+              (col("id") =!= col("bf") || col("id") =!= col("bb"))).as("chg")),
            Seq.empty[GatherScatter.PrGraph])
         } else {
           val t0 = System.nanoTime()
@@ -175,14 +188,19 @@ object Scc {
             .select(col("id"), col("pagerank").cast("long").as("f"))
           val b = GatherScatter.toDF(spark, bL)
             .select(col("id"), col("pagerank").cast("long").as("b"))
+          // done rows keep their sealed labels; live rows isolated in the
+          // remainder coalesce to themselves (singleton SCCs — they seal too)
           (state
              .join(f, Seq("id"), "left_outer")
              .join(b, Seq("id"), "left_outer")
              .select(col("id"),
-               coalesce(col("f"), col("id")).as("nbf"),
-               coalesce(col("b"), col("id")).as("nbb"),
-               (coalesce(col("f"), col("id")) =!= col("bf") ||
-                coalesce(col("b"), col("id")) =!= col("bb")).as("chg")),
+               when(col("done"), col("bf"))
+                 .otherwise(coalesce(col("f"), col("id"))).as("nbf"),
+               when(col("done"), col("bb"))
+                 .otherwise(coalesce(col("b"), col("id"))).as("nbb"),
+               (!col("done") &&
+                (coalesce(col("f"), col("id")) =!= col("bf") ||
+                 coalesce(col("b"), col("id")) =!= col("bb"))).as("chg")),
            Seq(fwd, bwd))
         }
       val nextP = next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -190,7 +208,8 @@ object Scc {
       if (sys.env.contains("SPARK_GRAFT_ITERLOG"))
         println(s"[scc] round=$round changed=$changed")
       val prev = state
-      state = nextP.select(col("id"), col("nbf").as("bf"), col("nbb").as("bb"))
+      state = nextP.select(col("id"), col("nbf").as("bf"), col("nbb").as("bb"),
+          (col("nbf") === col("nbb")).as("done"))
         .localCheckpoint()
       prev.unpersist(blocking = false)
       nextP.unpersist(blocking = false)
