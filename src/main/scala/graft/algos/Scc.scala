@@ -80,8 +80,11 @@ object Scc {
     var round = 0
     var changed = 1L
     while (changed > 0) {
-      if (round >= maxOuter)
+      if (round >= maxOuter) {
+        edges.unpersist(blocking = false)
+        state.unpersist(blocking = false)
         throw new IllegalStateException(s"Scc: no fixpoint after $maxOuter rounds")
+      }
       // edges whose endpoints share a block — the only ones either phase may
       // propagate across this round
       val srcB = state.select(col("id").as("src"), col("bf").as("sbf"), col("bb").as("sbb"))
@@ -154,8 +157,11 @@ object Scc {
     var round = 0
     var changed = 1L
     while (changed > 0) {
-      if (round >= maxOuter)
+      if (round >= maxOuter) {
+        edges.unpersist(blocking = false)
+        state.unpersist(blocking = false)
         throw new IllegalStateException(s"Scc: no fixpoint after $maxOuter rounds")
+      }
       val live = state.filter(!col("done"))
       val srcB = live.select(col("id").as("src"), col("bf").as("sbf"), col("bb").as("sbb"))
       val dstB = live.select(col("id").as("dst"), col("bf").as("dbf"), col("bb").as("dbb"))
@@ -172,7 +178,7 @@ object Scc {
              when(col("done"), col("bb")).otherwise(col("id")).as("nbb"),
              (!col("done") &&
               (col("id") =!= col("bf") || col("id") =!= col("bb"))).as("chg")),
-           Seq.empty[GatherScatter.PrGraph])
+           Seq.empty[() => Unit])
         } else {
           val t0 = System.nanoTime()
           val fwd = GatherScatter.build(LinkGraph(inBlock, nP), nP)
@@ -201,12 +207,22 @@ object Scc {
                (!col("done") &&
                 (coalesce(col("f"), col("id")) =!= col("bf") ||
                  coalesce(col("b"), col("id")) =!= col("bb"))).as("chg")),
-           Seq(fwd, bwd))
+           // free the fixpoints' persisted label blocks too, not just the graphs
+           Seq(() => fwd.unpersist(), () => bwd.unpersist(),
+               () => { fL.unpersist(false); () }, () => { bL.unpersist(false); () }))
         }
       val nextP = next.persist(StorageLevel.MEMORY_AND_DISK)
-      changed = nextP.filter(col("chg")).count()
+      // one pass computes both stop signals: label changes this round, and
+      // how many vertices remain unsealed — zero unsealed is a fixpoint by
+      // construction (sealed labels are frozen), so the loop can end WITHOUT
+      // spending a further round just to observe changed=0
+      val sig = nextP.agg(
+        sum(when(col("chg"), 1L).otherwise(0L)),
+        sum(when(col("nbf") === col("nbb"), 0L).otherwise(1L))).head()
+      val liveLeft = if (sig.isNullAt(1)) 0L else sig.getLong(1)
+      changed = if (liveLeft == 0L || sig.isNullAt(0)) 0L else sig.getLong(0)
       if (sys.env.contains("SPARK_GRAFT_ITERLOG"))
-        println(s"[scc] round=$round changed=$changed")
+        println(s"[scc] round=$round changed=$changed liveLeft=$liveLeft")
       val prev = state
       state = nextP.select(col("id"), col("nbf").as("bf"), col("nbb").as("bb"),
           (col("nbf") === col("nbb")).as("done"))
@@ -214,7 +230,7 @@ object Scc {
       prev.unpersist(blocking = false)
       nextP.unpersist(blocking = false)
       inBlock.unpersist(blocking = false)
-      toFree.foreach(_.unpersist())
+      toFree.foreach(_.apply())
       round += 1
     }
     edges.unpersist(blocking = false)

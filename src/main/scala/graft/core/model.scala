@@ -138,9 +138,12 @@ final class LinkGraph private (
     }
   }
 
+  private[this] var vertsCached = false
+
   /** Distinct vertex ids appearing as src or dst (GraphMat derives the vertex
     * set from matrix dims; with arbitrary Long ids we take the union). */
   lazy val vertices: DataFrame = {
+    vertsCached = true
     edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
@@ -174,6 +177,10 @@ final class LinkGraph private (
     byDst.foreach(_.unpersist()); byDst = None
     hotBySalt.values.foreach(_.unpersist()); hotBySalt.clear()
     hotCache.clear()
+    // a lazy val can't be reset — drop its cache entry if it was built
+    // (subsequent uses recompute uncached, which is the right post-cleanup
+    // behavior for a graph being released)
+    if (vertsCached) vertices.unpersist()
   }
 }
 

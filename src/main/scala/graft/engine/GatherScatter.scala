@@ -1459,7 +1459,8 @@ object GatherScatter {
       val a = new Array[Double](vm.ids.length)
       var i = 0
       while (i < a.length) {
-        require(vm.ids(i) < (1L << 53), s"vertex id ${vm.ids(i)} not exact in a Double label")
+        require(vm.ids(i) < (1L << 53) && vm.ids(i) > -(1L << 53),
+          s"vertex id ${vm.ids(i)} not exact in a Double label")
         a(i) = vm.ids(i).toDouble
         i += 1
       }
@@ -1707,7 +1708,8 @@ object GatherScatter {
         val a = new Array[Double](vm.ids.length)
         var i = 0
         while (i < a.length) {
-          require(vm.ids(i) < (1L << 53), s"vertex id ${vm.ids(i)} not exact in a Double label")
+          require(vm.ids(i) < (1L << 53) && vm.ids(i) > -(1L << 53),
+          s"vertex id ${vm.ids(i)} not exact in a Double label")
           a(i) = vm.ids(i).toDouble
           i += 1
         }

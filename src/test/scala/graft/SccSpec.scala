@@ -60,19 +60,22 @@ class SccSpec extends AnyFunSuite {
 
   test("pure DAG: every vertex its own component") {
     val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
-    assert(sparkScc(es) === tarjan(es))
-    assert(sparkScc(es).forall { case (v, c) => v == c })
+    val got = sparkScc(es)
+    assert(got === tarjan(es))
+    assert(got.forall { case (v, c) => v == c })
   }
 
   test("two cycles bridged forward stay separate; bridged both ways merge") {
     val c1 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     val c2 = Seq((10L, 11L), (11L, 12L), (12L, 10L))
     val fwd = c1 ++ c2 :+ (3L, 10L)
-    assert(sparkScc(fwd) === tarjan(fwd))
-    assert(sparkScc(fwd)(10L) === 10L && sparkScc(fwd)(1L) === 1L)
+    val gotFwd = sparkScc(fwd)
+    assert(gotFwd === tarjan(fwd))
+    assert(gotFwd(10L) === 10L && gotFwd(1L) === 1L)
     val both = fwd :+ (12L, 2L)
-    assert(sparkScc(both) === tarjan(both))
-    assert(sparkScc(both).values.toSet === Set(1L))
+    val gotBoth = sparkScc(both)
+    assert(gotBoth === tarjan(both))
+    assert(gotBoth.values.toSet === Set(1L))
   }
 
   test("adversarial ids: min of the sink cycle smaller than sources") {
@@ -82,9 +85,10 @@ class SccSpec extends AnyFunSuite {
       (7L, 5L), (8L, 6L),            // two parallel bridges
       (5L, 1L), (6L, 1L),            // into the sink cycle
       (1L, 2L), (2L, 1L))            // sink cycle {1,2}
-    assert(sparkScc(es) === tarjan(es))
-    assert(sparkScc(es)(7L) === 7L && sparkScc(es)(2L) === 1L)
-    assert(sparkScc(es)(5L) === 5L && sparkScc(es)(6L) === 6L)
+    val got = sparkScc(es)
+    assert(got === tarjan(es))
+    assert(got(7L) === 7L && got(2L) === 1L)
+    assert(got(5L) === 5L && got(6L) === 6L)
   }
 
   test("self-loops and isolated-in-subgraph vertices") {
