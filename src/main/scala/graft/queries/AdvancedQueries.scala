@@ -55,6 +55,26 @@ object AdvancedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sampled-source betweenness centrality (batched Brandes) on the bucket
+    // chains. Sources = 4 chain heads in md5 order (replayed in SQL). On a
+    // pure chain sigma = 1 everywhere, so the true value has the closed form
+    // bc(v) = len - pos for v > head inside a sampled chain, 0 elsewhere —
+    // the oracle states the ANSWER; diamonds/merges (sigma > 1) are pinned
+    // against sequential Brandes in BetweennessSpec.
+    "g_betweenness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val heads = events(s, dir)
+        .select(col("event_id"), row_number().over(w).as("rn"),
+          lead("event_id", 1).over(w).as("nxt"))
+        .filter((col("rn") - 1) % 10 === 0 && col("nxt").isNotNull)
+        .select(col("event_id"), md5(col("event_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("event_id")).limit(4)
+        .collect().map(_.getLong(0)).toSeq
+      graft.algos.Betweenness.run(bucketGraph(s, dir), heads)
+        .select(col("id"), round(col("bc") + 1e-9, 6).as("bc"))
+    }),
+
     // Incremental PageRank to convergence on the bucket chains — a chain
     // position k converges to exactly 1 - 0.7^(k+1), the closed form the
     // oracle replays.
@@ -306,6 +326,28 @@ object AdvancedQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // closed form on chains: the 4 md5-first chain heads are the sources;
+    // every vertex strictly after a sampled head carries (chain length −
+    // position) — each downstream target contributes exactly one unit
+    // through it; everything else is 0
+    "g_betweenness" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket),
+        |pos AS (
+        |  SELECT id, user_id, bkt,
+        |         rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1 AS p,
+        |         max(rn) OVER (PARTITION BY user_id, bkt)
+        |           - min(rn) OVER (PARTITION BY user_id, bkt) + 1 AS len
+        |  FROM mrn),
+        |srcs AS (
+        |  SELECT user_id, bkt FROM pos WHERE p = 1
+        |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 4)
+        |SELECT pos.id,
+        |  round(CASE WHEN s.user_id IS NOT NULL AND pos.p > 1
+        |        THEN CAST(pos.len - pos.p AS DOUBLE) ELSE 0.0 END + 1e-9, 6) AS bc
+        |FROM pos LEFT JOIN srcs s ON s.user_id = pos.user_id AND s.bkt = pos.bkt""".stripMargin),
+
     "g_deltapr" -> (EventGraph.sqlBase +
       """, mrn AS (
         |  SELECT src AS id, user_id, bkt, rn FROM bucket
