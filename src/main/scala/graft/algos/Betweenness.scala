@@ -58,7 +58,7 @@ object Betweenness {
     // ---- forward: lockstep K-source BFS (depth + path counts) ----
     val init = graph.vertices.select(
       col("id"),
-      exists(transform(srcArr, s => col("id") === s), x => x).as("active"),
+      col("id").isInCollection(sources).as("active"),
       transform(srcArr, s => when(col("id") === s, 0).otherwise(-1)).as("dep"),
       transform(srcArr, s => when(col("id") === s, 1.0).otherwise(0.0)).as("sig"),
       transform(srcArr, s => col("id") === s).as("just"))
@@ -86,13 +86,30 @@ object Betweenness {
           just2.as("just"),
           exists(just2, x => x).as("_changed"))
       })
+    // track the forward run's checkpointed state so it can be freed once the
+    // backward phase has consumed it (its storage is RDD-level, invisible to
+    // Dataset.unpersist — same pattern as DeltaStepping's round cleanup)
+    val sc = graph.edges.sparkSession.sparkContext
+    // materialize the clustered edge view BEFORE the baseline snapshot so
+    // the diff below can never free the graph's own reusable cache
+    graph.edgesBySrc.count()
+    val rddsBefore = sc.getPersistentRDDs.keySet
     val forward = Superstep.run(graph, init, fwd).state
+    // snapshot the forward phase's RDD ids NOW — the backward run persists
+    // its own checkpoints after this point and those must survive (the last
+    // one backs the returned frame)
+    val fwdRddIds = sc.getPersistentRDDs.keySet -- rddsBefore
+    def freeForward(): Unit =
+      sc.getPersistentRDDs
+        .filter { case (k, _) => fwdRddIds.contains(k) }
+        .values.foreach(_.unpersist(blocking = false))
 
-    val maxD = forward
-      .agg(max(array_max(col("dep")))).head().getInt(0)
+    val maxRow = forward.agg(max(array_max(col("dep")))).head()
+    val maxD = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
     if (maxD <= 0) {
-      // sources reach nothing: betweenness is identically zero
-      val out = forward.select(col("id"), lit(0.0).as("bc"))
+      // sources reach nothing (or the graph is empty): betweenness is zero
+      val out = forward.select(col("id"), lit(0.0).as("bc")).localCheckpoint()
+      freeForward()
       return out
     }
 
@@ -127,6 +144,9 @@ object Betweenness {
       maxIterations = maxD,
       trackChanges = false)
     val back = Superstep.run(graph, bInit, bwd).state
+    // backward's supersteps are all materialized (eager per-superstep
+    // checkpoints) — the forward state has no remaining reader
+    freeForward()
 
     // bc(v) = sum_k delta_k(v), excluding each source's own row
     back.select(col("id"),

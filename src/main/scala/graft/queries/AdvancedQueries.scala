@@ -62,12 +62,7 @@ object AdvancedQueries {
     // the oracle states the ANSWER; diamonds/merges (sigma > 1) are pinned
     // against sequential Brandes in BetweennessSpec.
     "g_betweenness" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val heads = events(s, dir)
-        .select(col("event_id"), row_number().over(w).as("rn"),
-          lead("event_id", 1).over(w).as("nxt"))
-        .filter((col("rn") - 1) % 10 === 0 && col("nxt").isNotNull)
+      val heads = bucketHeads(events(s, dir))
         .select(col("event_id"), md5(col("event_id").cast("string")).as("h"))
         .orderBy(col("h"), col("event_id")).limit(4)
         .collect().map(_.getLong(0)).toSeq

@@ -52,6 +52,17 @@ object EventGraph {
       .select(col("event_id").as("src"), col("nxt").as("dst"),
               (lit(1.0) + abs(col("nxtVal"))).as("weight"))
 
+  /** Head event of every bucket chain that has at least one edge (the
+    * vertices of bucketEdges at chain position 1) — shares byUser so the
+    * selection can never diverge from the graph derivation. */
+  def bucketHeads(ev: DataFrame): DataFrame =
+    ev.select(
+        col("event_id"),
+        row_number().over(byUser).as("rn"),
+        lead("event_id", 1).over(byUser).as("nxt"))
+      .filter((col("rn") - 1) % 10 === 0 && col("nxt").isNotNull)
+      .select("event_id")
+
   /** The first `k` edges of every bucket chain — the deterministic "graph
     * before growth" for the warm-start gate: adding the remaining bucket
     * edges extends each chain's tail with brand-new vertices AND re-seeds
