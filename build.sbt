@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output defaults to LoggedOutput, which prefixes every stdout
+// line with "[info] " — that breaks any consumer parsing the LAST stdout
+// line as JSON (Bench's driver contract). StdoutOutput passes the child's
+// stdout/stderr through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time" line so the child's
+// final JSON really is the last stdout line of `sbt -batch "runMain ..."`.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

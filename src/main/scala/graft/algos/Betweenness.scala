@@ -90,9 +90,11 @@ object Betweenness {
     // backward phase has consumed it (its storage is RDD-level, invisible to
     // Dataset.unpersist — same pattern as DeltaStepping's round cleanup)
     val sc = graph.edges.sparkSession.sparkContext
-    // materialize the clustered edge view BEFORE the baseline snapshot so
-    // the diff below can never free the graph's own reusable cache
+    // materialize the clustered edge view AND the vertex cache BEFORE the
+    // baseline snapshot so the diff below can never free the graph's own
+    // reusable caches (the vertex buffer RDD only registers on first action)
     graph.edgesBySrc.count()
+    graph.vertices.count()
     val rddsBefore = sc.getPersistentRDDs.keySet
     val forward = Superstep.run(graph, init, fwd).state
     // snapshot the forward phase's RDD ids NOW — the backward run persists

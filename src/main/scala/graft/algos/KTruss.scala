@@ -43,6 +43,12 @@ object KTruss {
       n = m
       rounds += 1
     }
+    // no silent caps: an un-converged peel would return edges whose support
+    // is still below k-2 — fail loudly like Scc does on its outer rail
+    if (!stable)
+      throw new IllegalStateException(
+        s"KTruss: peel did not reach the fixpoint within maxRounds=$maxRounds " +
+          s"($n edges still live); raise maxRounds")
     withSupport(canon)
   }
 

@@ -36,19 +36,28 @@ import graft.engine.{Activity, CheckpointConfig, Direction, Reduce, RunResult,
  * fixpoint).
  *
  * Edge key (cross-engine): 16-bit md5 priority of the canonical pair, then
- * the pair itself — key = pri·2^40 + least·2^20 + greatest (event ids stay
- * < 2^20 at driver scale, so the lexicographic (pri, a, b) order coincides
- * with the integer order and fits a long).
+ * the pair itself — the lexicographic tuple (pri, least, greatest) as a
+ * native struct (Spark orders structs field-by-field under min/max), exact
+ * for any 64-bit ids. The DuckDB twin packs the same tuple into an integer
+ * (pri·2^40 + a·2^20 + b), which coincides with the struct order whenever
+ * ids < 2^20 — true of every gate fixture; the engine itself has no id cap.
  */
 object Matching {
 
-  /** key = pri(a,b)·2^40 + a·2^20 + b over the canonical (a<b) pair. */
+  /** Lexicographic edge key (pri, a, b) over the canonical (a<b) pair as a
+    * native STRUCT — Spark's min/max order structs field-by-field, so the
+    * ⊕ stays an algebraic max with map-side partials, and unlike a packed
+    * long the key is exact for ANY 64-bit vertex ids (an earlier packing
+    * gave each id 20 bits, capping the graph at 2^20 vertices — too small
+    * for the 65M-edge scale graph). On fixture-range ids (< 2^20) the
+    * struct order coincides with the old packed-integer order, so the
+    * g_matching DuckDB twin's packed arithmetic stays a faithful replay. */
   private def edgeKey(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) = {
     val a = least(u, v)
     val b = greatest(u, v)
     val pri = conv(substring(md5(concat(a.cast("string"), lit(":"), b.cast("string"), lit(":m"))), 1, 8),
       16, 10).cast("long") % 65536L
-    pri * 1099511627776L + a * 1048576L + b
+    struct(pri.as("pri"), a.as("a"), b.as("b"))
   }
 
   def run(graph: LinkGraph, cp: Option[CheckpointConfig] = None): RunResult = {
@@ -68,8 +77,8 @@ object Matching {
         max(when(col("sphase") === 1 && col("scand") === col("_recv") &&
           col("_send") === col("v_cand"), col("_send"))).as("hshake")),
       apply = (df, _) => {
-        val lst = shiftright(col("maxu"), 20).bitwiseAND(lit(1048575L))
-        val gst = col("maxu").bitwiseAND(lit(1048575L))
+        val lst = col("maxu").getField("a")
+        val gst = col("maxu").getField("b")
         val newCand = when(col("phase") =!= 0 || col("mate") =!= -1L, col("cand"))
           .when(col("maxu").isNull, -1L)
           .otherwise(when(lst === col("id"), gst).otherwise(lst))

@@ -57,10 +57,13 @@ import graft.core.LinkGraph
   * pointer, written last. Pass to `pageRankConverged` / `minFixpoint` /
   * `connectedComponents` / `bfs` / `sssp`: if a committed checkpoint already
   * exists under `dir/runId`, the run RESUMES from it instead of restarting.
-  * All paths go through the Hadoop FileSystem of `dir` (local, hdfs://,
-  * s3a://). In production these are Iceberg snapshot commits;
-  * object-files-with-a-pointer is the sandbox stand-in (no Iceberg jars). */
-final case class CsrCheckpoint(dir: String, runId: String, every: Int = 8)
+  * All durable IO goes through `store` ([[SnapshotStore]]); in production
+  * these are Iceberg snapshot commits, and the default
+  * [[HadoopSnapshotStore]] (object-files-with-a-pointer over the Hadoop
+  * FileSystem of `dir` — local, hdfs://, s3a://) is the sandbox stand-in
+  * (no Iceberg jars). */
+final case class CsrCheckpoint(dir: String, runId: String, every: Int = 8,
+                               store: SnapshotStore = HadoopSnapshotStore)
 
 object GatherScatter {
 
@@ -684,11 +687,12 @@ object GatherScatter {
    * manifest with the global fields. `load` restores partition alignment by
    * an explicit partitionBy on the stored partition ids.
    */
-  def save(g: PrGraph, path: String): Unit = {
-    g.csr.mapPartitionsWithIndex((p, it) => it.map(b => (p, b)))
-      .saveAsObjectFile(s"$path/csr")
-    g.meta.mapPartitionsWithIndex((p, it) => it.map(m => (p, m)))
-      .saveAsObjectFile(s"$path/meta")
+  def save(g: PrGraph, path: String,
+           store: SnapshotStore = HadoopSnapshotStore): Unit = {
+    store.writeBlocks(
+      g.csr.mapPartitionsWithIndex((p, it) => it.map(b => (p, b))), s"$path/csr")
+    store.writeBlocks(
+      g.meta.mapPartitionsWithIndex((p, it) => it.map(m => (p, m))), s"$path/meta")
     // manifest through the SAME FileSystem the blocks used: a java.nio local
     // write under an hdfs:// or s3a:// path would leave a half-written
     // snapshot (blocks remote, manifest missing)
@@ -703,7 +707,8 @@ object GatherScatter {
     } finally oos.close()
   }
 
-  def load(spark: SparkSession, path: String): PrGraph = {
+  def load(spark: SparkSession, path: String,
+           store: SnapshotStore = HadoopSnapshotStore): PrGraph = {
     val sc = spark.sparkContext
     val hp = new org.apache.hadoop.fs.Path(s"$path/manifest.bin")
     val ois = new java.io.ObjectInputStream(
@@ -724,10 +729,10 @@ object GatherScatter {
     // this one change; single-executor runs can't misalign, which is why the
     // bug only taxed multi-executor legs.
     val all: RDD[(CsrBlock, (VertexMeta, Array[Array[Int]]))] =
-      sc.objectFile[(Int, CsrBlock)](s"$path/csr")
+      store.readBlocks[CsrBlock](sc, s"$path/csr")
         .partitionBy(idPart)
         .zipPartitions(
-          sc.objectFile[(Int, (VertexMeta, Array[Array[Int]]))](s"$path/meta")
+          store.readBlocks[(VertexMeta, Array[Array[Int]])](sc, s"$path/meta")
             .partitionBy(idPart),
           preservesPartitioning = true) { (cIt, mIt) =>
             Iterator.single((cIt.next()._2, mIt.next()._2))
@@ -751,28 +756,6 @@ object GatherScatter {
   // precisely so that a rebuild with the same numPartitions/keyShift/
   // hotDegree reproduces the layout deterministically (see sortWithPerm).
 
-  private def fsOf(sc: SparkContext, path: String) = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    (hp, hp.getFileSystem(sc.hadoopConfiguration))
-  }
-
-  private def fsWriteText(sc: SparkContext, path: String, text: String): Unit = {
-    val (hp, fs) = fsOf(sc, path)
-    val out = fs.create(hp, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def fsReadText(sc: SparkContext, path: String): Option[String] = {
-    val (hp, fs) = fsOf(sc, path)
-    if (!fs.exists(hp)) None
-    else {
-      val in = fs.open(hp)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
-    }
-  }
-
   private val metricLineRe =
     """\{"iteration":(\d+),"changed":(-?\d+),"millis":(\d+)\}""".r
 
@@ -782,16 +765,15 @@ object GatherScatter {
     val sc = g.csr.sparkContext
     val root = s"${cp.dir}/${cp.runId}"
     val statePath = s"$root/iter=$iter/state"
-    val (sp, fs) = fsOf(sc, statePath)
-    if (fs.exists(sp)) fs.delete(sp, true) // half-written state from a crash
-    state.zipPartitions(g.verts, preservesPartitioning = true) { (rIt, vIt) =>
-      val vm = vIt.next()
-      Iterator.single((TaskContext.getPartitionId(), RankBlock(vm.ids, rIt.next())))
-    }.saveAsObjectFile(statePath)
+    // writeBlocks deletes half-written state from a crash before saving
+    cp.store.writeBlocks(
+      state.zipPartitions(g.verts, preservesPartitioning = true) { (rIt, vIt) =>
+        val vm = vIt.next()
+        Iterator.single((TaskContext.getPartitionId(), RankBlock(vm.ids, rIt.next())))
+      }, statePath)
     // per-partition lineage: the static layout a resumed run must reproduce
     // (vertex/receiver/edge counts per partition) — written once per run
-    val (pj, _) = fsOf(sc, s"$root/partitions.json")
-    if (!fs.exists(pj)) {
+    if (!cp.store.exists(sc, s"$root/partitions.json")) {
       val rows = g.csr.zipPartitions(g.verts, preservesPartitioning = true) { (cIt, vIt) =>
         val blk = cIt.next(); val vm = vIt.next()
         var e = blk.hotEdgeSrcIdx.length
@@ -802,16 +784,16 @@ object GatherScatter {
         }
         Iterator.single((TaskContext.getPartitionId(), vm.ids.length, vm.nRecv, e))
       }.collect().sortBy(_._1)
-      fsWriteText(sc, s"$root/partitions.json", rows.map { case (p, v, r, e) =>
+      cp.store.writeText(sc, s"$root/partitions.json", rows.map { case (p, v, r, e) =>
         s"""{"partition":$p,"vertices":$v,"receivers":$r,"edges":$e}"""
       }.mkString("[", ",", "]"))
     }
-    fsWriteText(sc, s"$root/metrics.jsonl", metrics.map(m =>
+    cp.store.writeText(sc, s"$root/metrics.jsonl", metrics.map(m =>
       s"""{"iteration":${m.iteration},"changed":${m.changed},"millis":${m.millis}}""")
       .mkString("", "\n", "\n"))
     // the pointer commits the checkpoint — written LAST, so a crash during
     // any earlier write leaves the previous committed state resumable
-    fsWriteText(sc, s"$root/latest.json",
+    cp.store.writeText(sc, s"$root/latest.json",
       s"""{"iteration":$iter,"converged":$converged,"partitions":${g.numPartitions}}""")
   }
 
@@ -821,7 +803,7 @@ object GatherScatter {
       : Option[(RDD[Array[Double]], Int, Boolean, Vector[IterationMetrics])] = {
     val sc = g.csr.sparkContext
     val root = s"${cp.dir}/${cp.runId}"
-    fsReadText(sc, s"$root/latest.json").map { txt =>
+    cp.store.readText(sc, s"$root/latest.json").map { txt =>
       val iter = """"iteration"\s*:\s*(\d+)""".r
         .findFirstMatchIn(txt).get.group(1).toInt
       val converged = txt.contains(""""converged":true""")
@@ -834,7 +816,7 @@ object GatherScatter {
           s"${g.numPartitions} (resume needs the same build parameters)")
       }
       val idPart = new IdPartitioner(g.numPartitions)
-      val state = sc.objectFile[(Int, RankBlock)](s"$root/iter=$iter/state")
+      val state = cp.store.readBlocks[RankBlock](sc, s"$root/iter=$iter/state")
         .partitionBy(idPart)
         .zipPartitions(g.verts, preservesPartitioning = true) { (lIt, vIt) =>
           val rb = lIt.next()._2; val vm = vIt.next()
@@ -845,7 +827,7 @@ object GatherScatter {
             "see build())")
           Iterator.single(rb.pr)
         }
-      val metrics = fsReadText(sc, s"$root/metrics.jsonl").map {
+      val metrics = cp.store.readText(sc, s"$root/metrics.jsonl").map {
         _.linesIterator.collect {
           case metricLineRe(i, c, m) if i.toInt <= iter =>
             IterationMetrics(i.toInt, c.toLong, m.toLong)

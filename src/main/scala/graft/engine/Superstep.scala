@@ -1,8 +1,5 @@
 package graft.engine
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -122,10 +119,13 @@ final case class RunResult(
  * `dir/runId/iter=N/state` as parquet, with per-partition row counts and
  * per-iteration metrics appended to `dir/runId/metrics.jsonl` and a
  * `latest.json` pointer enabling mid-algorithm resume. In production these
- * are Iceberg table snapshots; parquet-with-manifest is the sandbox stand-in
+ * are Iceberg table snapshots; all durable IO goes through `store`
+ * ([[SnapshotStore]]) so the Iceberg rendering is a drop-in — the default
+ * [[HadoopSnapshotStore]] is the parquet-with-manifest sandbox stand-in
  * (no Iceberg jars in this image).
  */
-final case class CheckpointConfig(dir: String, runId: String, every: Int = 8)
+final case class CheckpointConfig(dir: String, runId: String, every: Int = 8,
+                                  store: SnapshotStore = HadoopSnapshotStore)
 
 object Superstep {
 
@@ -136,21 +136,19 @@ object Superstep {
   /** Resume a checkpointed run mid-algorithm from its latest snapshot. */
   def resume(graph: LinkGraph, spec: VertexProgramSpec, cp: CheckpointConfig): RunResult = {
     val spark = graph.edges.sparkSession
-    val latestPath = Paths.get(cp.dir, cp.runId, "latest.json")
-    val txt = new String(Files.readAllBytes(latestPath), StandardCharsets.UTF_8)
+    val sc = spark.sparkContext
+    val txt = cp.store.readText(sc, s"${cp.dir}/${cp.runId}/latest.json")
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed checkpoint at ${cp.dir}/${cp.runId}/latest.json"))
     val iter = """"iteration"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
-    val state = spark.read.parquet(s"${cp.dir}/${cp.runId}/iter=$iter/state")
+    val state = cp.store.readState(spark, s"${cp.dir}/${cp.runId}/iter=$iter/state")
     // carry forward the pre-crash iteration history so metrics.jsonl stays complete
-    val mPath = Paths.get(cp.dir, cp.runId, "metrics.jsonl")
     val lineRe = """\{"iteration":(\d+),"changed":(-?\d+),"millis":(\d+)\}""".r
-    val prior =
-      if (Files.exists(mPath)) {
-        import scala.jdk.CollectionConverters._
-        Files.readAllLines(mPath).asScala.toSeq.collect {
-          case lineRe(i, c, m) if i.toInt <= iter =>
-            IterationMetrics(i.toInt, c.toLong, m.toLong)
-        }
-      } else Nil
+    val prior = cp.store.readText(sc, s"${cp.dir}/${cp.runId}/metrics.jsonl")
+      .map(_.linesIterator.toSeq.collect {
+        case lineRe(i, c, m) if i.toInt <= iter =>
+          IterationMetrics(i.toInt, c.toLong, m.toLong)
+      }).getOrElse(Nil)
     loop(graph, state, spec, Some(cp), startIteration = iter, priorMetrics = prior)
   }
 
@@ -307,27 +305,24 @@ object Superstep {
 
   private def snapshot(c: CheckpointConfig, iteration: Int, state: DataFrame,
                        metrics: Seq[IterationMetrics]): DataFrame = {
-    val base = s"${c.dir}/${c.runId}/iter=$iteration"
-    state.write.mode("overwrite").parquet(s"$base/state")
-    val reloaded = state.sparkSession.read.parquet(s"$base/state")
+    val spark = state.sparkSession
+    val sc = spark.sparkContext
+    val root = s"${c.dir}/${c.runId}"
+    val base = s"$root/iter=$iteration"
+    c.store.writeState(state, s"$base/state")
+    val reloaded = c.store.readState(spark, s"$base/state")
       .persist(StorageLevel.MEMORY_AND_DISK)
     reloaded.count()
     // per-partition lineage record + iteration metrics (north rule)
     val partRows = reloaded.groupBy(spark_partition_id().as("p")).count()
       .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-    val dir = Paths.get(c.dir, c.runId)
-    Files.createDirectories(dir)
     val mLines = metrics.map(m =>
       s"""{"iteration":${m.iteration},"changed":${m.changed},"millis":${m.millis}}""")
-    Files.write(dir.resolve("metrics.jsonl"),
-      (mLines.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.write(dir.resolve(s"iter=$iteration/partitions.jsonl"),
-      (partRows.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.write(dir.resolve("latest.json"),
-      s"""{"iteration":$iteration}""".getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    c.store.writeText(sc, s"$root/metrics.jsonl", mLines.mkString("", "\n", "\n"))
+    c.store.writeText(sc, s"$base/partitions.jsonl", partRows.mkString("", "\n", "\n"))
+    // the pointer commits the snapshot — written LAST, so a crash during any
+    // earlier write leaves the previous committed state resumable
+    c.store.writeText(sc, s"$root/latest.json", s"""{"iteration":$iteration}""")
     reloaded
   }
 }

@@ -158,11 +158,14 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
   }
 
-  /** Distinct lowered token n-grams per doc (the decontamination unit). */
+  /** Distinct lowered token n-grams per doc (the decontamination unit).
+    * Docs with fewer than n tokens emit nothing — a shorter-than-n pseudo
+    * n-gram would let unrelated short docs collide in decontamOverlap. */
   def ngramSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val toks = split(trim(lower(text)), "\\s+")
-    docs.select(id.as("id"),
-        explode(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+    docs.filter(size(toks) >= n)
+      .select(id.as("id"),
+        explode(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n))))).as("ngram"))
       .distinct()
   }

@@ -650,7 +650,8 @@ object PipelineQueries {
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS ngram
-        |  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-3, 1))) AS i) g),
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t)-3)) AS i) g
+        |  WHERE len(t) >= 4),
         |corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
         |bench AS (SELECT * FROM grams WHERE doc_id % 97 = 0)
         |SELECT c.doc_id AS id, count(DISTINCT c.ngram) AS n_shared,

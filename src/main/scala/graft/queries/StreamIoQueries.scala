@@ -124,6 +124,32 @@ object StreamIoQueries {
         .select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
     }),
 
+    // Continuous PageRank over a GROWING edge stream (foreachBatch +
+    // DeltaPageRank.warmStart — streaming/ContinuousRank.scala): the bucket
+    // edges arrive in micro-batches scattered by (src,dst) hash, so every
+    // batch extends many chains at once and each trigger warm-starts from
+    // the previous ranks, converging only the affected region. At quiescence
+    // the maintainer's ranks must equal the FULL graph's exact fixpoint —
+    // the same closed form the batch g_deltapr oracle replays — proving the
+    // streaming composition lands on truth, not near it.
+    "st_rank" -> ((s, dir) => {
+      val edges = bucketEdges(events(s, dir))
+      val tmp = Files.createTempDirectory("graft-strank").toString
+      edges.repartition(4, pmod(xxhash64(col("src"), col("dst")), lit(4)))
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val m = new graft.streaming.ContinuousRank.RankMaintainer()
+      val q = graft.streaming.ContinuousRank.attach(stream, m)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = m.current
+        .select(col("id"), round(col("pagerank") + 1e-9, 6).as("pr"))
+        .localCheckpoint(true)
+      m.close()
+      out
+    }),
+
     // streaming exact dedup — the ingest-time twin of d_dedup_exact: the
     // documents table arrives as micro-batches (rows scattered across files
     // by doc_id hash, so batch boundaries cut through every dup group) and
@@ -180,6 +206,16 @@ object StreamIoQueries {
 
     "io_mtx" -> (EventGraph.sqlBase +
       "SELECT src, dst, CAST(1 AS BIGINT) AS weight FROM rich"),
+
+    // identical to the g_deltapr closed form: chains are trees, so the
+    // delta fixpoint is the geometric series 1 - 0.7^position
+    "st_rank" -> (EventGraph.sqlBase +
+      """, mrn AS (
+        |  SELECT src AS id, user_id, bkt, rn FROM bucket
+        |  UNION SELECT dst, user_id, bkt, rn + 1 FROM bucket)
+        |SELECT id,
+        |  round(1 - pow(0.7, rn - min(rn) OVER (PARTITION BY user_id, bkt) + 1) + 1e-9, 6) AS pr
+        |FROM mrn""".stripMargin),
 
     "st_dedup" ->
       "SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper FROM documents GROUP BY 1"
