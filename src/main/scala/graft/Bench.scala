@@ -430,6 +430,8 @@ object Bench {
     xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
+    calibKernel() // JIT-warm the calibration kernel so phase 1's reading
+    //               prices the host window, not first-call compilation
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1200000").toInt

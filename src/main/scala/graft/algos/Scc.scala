@@ -139,8 +139,16 @@ object Scc {
     import graft.engine.GatherScatter
     val spark = graph.edges.sparkSession
     val nP = graph.numPartitions
-    // see run(): the block filter re-reads the edges every round
     val edges = graph.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // The in-block filter's input SHRINKS round over round: an edge dropped
+    // once can never re-qualify — sealed endpoints stay sealed, and blocks
+    // strictly refine (a block's new labels are ids OF that block's
+    // vertices, so vertices in different blocks can never converge to the
+    // same label). Each round therefore joins against the PREVIOUS round's
+    // survivors, not the full edge table — the join input follows the
+    // recursion's remainder instead of rescanning |E| every round.
+    var curEdges = edges
+    var prevInBlock: Option[DataFrame] = None
     // done = F(v) == B(v): the shared label m both reaches v and is reached
     // by v inside the block, so m ∈ SCC(v); and F ≤ min(SCC) always (the SCC
     // min reaches v), so m IS min(SCC(v)) — v's final label. Every member of
@@ -159,17 +167,21 @@ object Scc {
     while (changed > 0) {
       if (round >= maxOuter) {
         edges.unpersist(blocking = false)
+        prevInBlock.foreach(_.unpersist(blocking = false))
         state.unpersist(blocking = false)
         throw new IllegalStateException(s"Scc: no fixpoint after $maxOuter rounds")
       }
       val live = state.filter(!col("done"))
       val srcB = live.select(col("id").as("src"), col("bf").as("sbf"), col("bb").as("sbb"))
       val dstB = live.select(col("id").as("dst"), col("bf").as("dbf"), col("bb").as("dbb"))
-      val inBlock = edges
+      // eager localCheckpoint, not a lazy persist: rounds now CHAIN (this
+      // round's survivors feed the next round's join), so lineage must be
+      // cut per round or the logical plan grows with the round count
+      val inBlock = curEdges
         .join(srcB, "src").join(dstB, "dst")
         .filter(col("sbf") === col("dbf") && col("sbb") === col("dbb"))
         .select("src", "dst", "weight")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val (next, toFree) =
         if (inBlock.isEmpty) {
           // no edges among live vertices: each is alone — F = B = own id
@@ -229,11 +241,17 @@ object Scc {
         .localCheckpoint()
       prev.unpersist(blocking = false)
       nextP.unpersist(blocking = false)
-      inBlock.unpersist(blocking = false)
+      // this round's in-block survivors BECOME the next round's join input;
+      // the previous survivor cache (fully consumed by this round's
+      // derivation and fixpoints) is released one round behind
+      prevInBlock.foreach(_.unpersist(blocking = false))
+      prevInBlock = Some(inBlock)
+      curEdges = inBlock
       toFree.foreach(_.apply())
       round += 1
     }
     edges.unpersist(blocking = false)
+    prevInBlock.foreach(_.unpersist(blocking = false))
     state.select(col("id"), col("bf").as("scc"))
   }
 }
