@@ -92,7 +92,7 @@ object DeltaPageRank {
       .select(col("id"), coalesce(col("_pr0"), lit(0.0)).as("_pr0"))
     // (A·x_old)_i over the CURRENT edges; every src has outdeg ≥ 1 by
     // construction so the inner joins lose nothing
-    val contrib = graph.edges
+    val contrib = graph.edgesBySrc
       .join(xold.select(col("id").as("src"), col("_pr0")), Seq("src"))
       .join(deg.select(col("id").as("src"), col("degree").as("_d")), Seq("src"))
       .groupBy(col("dst").as("id"))

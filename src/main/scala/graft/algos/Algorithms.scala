@@ -20,11 +20,17 @@ object Degree {
    * count, so we declare it as such and let Catalyst do partial+final agg;
    * `DegreeSpec.viaEngine` (tests) proves the superstep path agrees.
    */
+  /** Both degree views read the src-clustered CACHED edge view (r06): every
+    * degree consumer (PageRank/DeltaPR/Toposort/KCore init) also routes
+    * messages through that view, so aggregating over it turns a second full
+    * evaluation of the upstream edge derivation into a scan of materialized
+    * blocks — and the groupBy(src) needs no exchange at all (the cache is
+    * already hash-clustered on src). Guide §2.4. */
   def outDegrees(graph: LinkGraph): DataFrame =
-    graph.edges.groupBy(col("src").as("id")).agg(count("*").as("degree"))
+    graph.edgesBySrc.groupBy(col("src").as("id")).agg(count("*").as("degree"))
 
   def inDegrees(graph: LinkGraph): DataFrame =
-    graph.edges.groupBy(col("dst").as("id")).agg(count("*").as("degree"))
+    graph.edgesBySrc.groupBy(col("dst").as("id")).agg(count("*").as("degree"))
 
   /** The literal 1-superstep vertex program, for engine-equivalence tests. */
   def viaEngine(graph: LinkGraph): DataFrame = {
@@ -295,8 +301,12 @@ object TriangleCount {
     * oriented edge set closes it. All of perVertex / participation /
     * clustering share this one enumeration. */
   private[graft] def triangles(graph: LinkGraph): DataFrame = {
-    val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst")
-    val o = orientByDegree(e)
+    // the canonical DAG feeds orientByDegree THREE ways (degree count + two
+    // join sides) and the oriented set feeds three consumers (both wedge
+    // sides + the closing semi-join); materialize each once instead of
+    // re-running the upstream edge derivation per branch (guide §2.4)
+    val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst").localCheckpoint()
+    val o = orientByDegree(e).localCheckpoint()
     val o1 = o.select(col("lo").as("w"), col("hi").as("u"), col("dh").as("du"))
     val o2 = o.select(col("lo").as("w2"), col("hi").as("v"), col("dh").as("dv"))
     val wedges = o1.join(o2, col("w") === col("w2") &&
@@ -336,7 +346,7 @@ object TriangleCount {
    * bound after degree orientation).
    */
   def localClustering(graph: LinkGraph): DataFrame = {
-    val dag = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst")
+    val dag = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst").localCheckpoint()
     val deg = dag.select(col("src").as("id")).union(dag.select(col("dst").as("id")))
       .groupBy("id").agg(count("*").as("d"))
     participation(graph).join(deg, Seq("id"), "left_outer")

@@ -25,14 +25,18 @@ object Modularity {
    * drop edges, so callers pass a label per vertex (LP/CC output does).
    */
   def score(graph: LinkGraph, labels: DataFrame): DataFrame = {
+    // `tagged` feeds THREE consumers (edge count, degree fold, intra fold);
+    // materialize it once instead of re-running the upstream edge derivation
+    // per branch (guide §2.4 — the fixtures derive edges through window
+    // functions, so each re-evaluation was a full window pipeline)
     val canon = graph.edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val la = labels.select(col("id").as("a"), col("label").as("la"))
     val lb = labels.select(col("id").as("b"), col("label").as("lb"))
-    val tagged = canon.join(la, "a").join(lb, "b")
-    val m = canon.count().toDouble
+    val tagged = canon.join(la, "a").join(lb, "b").localCheckpoint()
+    val m = tagged.count().toDouble
     // d_c: every canon edge credits 1 to each endpoint's community
     val degSum = tagged.select(explode(array(col("la"), col("lb"))).as("c"))
       .groupBy("c").agg(count(lit(1)).as("d"))

@@ -53,8 +53,8 @@ object Lda {
   def init(graph: LinkGraph, types: DataFrame,
            gammaFn: (Column, Int) => Column = gamma0): DataFrame = {
     val e = graph.edges
-    val both = e.select(col("dst").as("id"), col("weight"))
-      .union(e.select(col("src").as("id"), col("weight")))
+    // one explode instead of a self-union (one evaluation of the edge table)
+    val both = e.select(explode(array(col("dst"), col("src"))).as("id"), col("weight"))
     val gs = array((0 until K).map(i => gammaFn(col("weight"), i)): _*)
     val gsum = aggregate(gs, lit(0.0), _ + _)
     // gammas are seeded by the edge VALUE alone, so normalize once per

@@ -39,11 +39,17 @@ object LinkPrediction {
    * Returns (a, b, common, score) ordered by (score desc, a, b).
    */
   def adamicAdar(graph: LinkGraph, k: Int, maxDegree: Long = Long.MaxValue): DataFrame = {
-    val canon = canonical(graph)
-    val und = canon.select(col("a").as("w"), col("b").as("n"))
-      .union(canon.select(col("b").as("w"), col("a").as("n")))
+    // canon feeds three consumers (two und directions + the final anti-join)
+    // and `centered` both wedge sides — materialize each once instead of
+    // re-running the upstream edge derivation per branch (guide §2.4); the
+    // directed doubling is one explode, not a self-union
+    val canon = canonical(graph).localCheckpoint()
+    val und = canon.select(explode(array(
+        struct(col("a").as("w"), col("b").as("n")),
+        struct(col("b").as("w"), col("a").as("n")))).as("e"))
+      .select(col("e.w").as("w"), col("e.n").as("n"))
     val deg = und.groupBy("w").agg(count(lit(1)).as("d"))
-    val centered = und.join(deg.filter(col("d") <= maxDegree), "w")
+    val centered = und.join(deg.filter(col("d") <= maxDegree), "w").localCheckpoint()
     val wedges = centered.select(col("w"), col("n").as("u"), col("d"))
       .join(centered.select(col("w"), col("n").as("v")), "w")
       .filter(col("u") < col("v"))

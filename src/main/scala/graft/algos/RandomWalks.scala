@@ -34,8 +34,11 @@ object RandomWalks {
     * for i in [0, walksPerVertex). */
   def corpus(graph: LinkGraph, walksPerVertex: Int = 1, length: Int = 10): DataFrame = {
     require(walksPerVertex >= 1 && length >= 1)
+    // deg feeds the adjacency index AND every walk start; persist it so the
+    // edge derivation + aggregate run once, not once per consumer (§2.4)
     val edges = graph.edges.select("src", "dst").distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = edges
       .withColumn("idx", row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
       .join(deg.select(col("src").as("dst"), col("d").as("dstdeg")), Seq("dst"), "left")
@@ -43,13 +46,14 @@ object RandomWalks {
         coalesce(col("dstdeg"), lit(0L)).as("dstdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val starts = (0 until walksPerVertex).map { wi =>
-      graph.vertices.join(deg, col("id") === col("src"), "left")
-        .select(
-          concat(col("id").cast("string"), lit(s"#$wi")).as("walk"),
-          col("id").as("v"),
-          coalesce(col("d"), lit(0L)).as("vdeg"))
-    }.reduce(_ unionAll _)
+    // one pass: each vertex explodes into its walksPerVertex start rows
+    // (the old per-wi union re-ran the vertices⋈deg join per walk index)
+    val starts = graph.vertices.join(deg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("vdeg"),
+        explode(sequence(lit(0), lit(walksPerVertex - 1))).as("wi"))
+      .select(
+        concat(col("id").cast("string"), lit("#"), col("wi").cast("string")).as("walk"),
+        col("id").as("v"), col("vdeg"))
 
     var cur = starts.localCheckpoint(true)
     val segments = Seq.newBuilder[DataFrame]
@@ -68,6 +72,7 @@ object RandomWalks {
     }
     val out = segments.result().reduce(_ unionAll _)
     adj.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 

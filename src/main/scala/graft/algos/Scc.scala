@@ -138,6 +138,18 @@ object Scc {
   def runFast(graph: LinkGraph, maxOuter: Int = 64): DataFrame = {
     import graft.engine.GatherScatter
     val spark = graph.edges.sparkSession
+    val sc = spark.sparkContext
+    // localCheckpoint storage is RDD-level — invisible to Dataset.unpersist
+    // (see Betweenness.scala) — so each round's survivor edge set and state
+    // snapshot are freed through a getPersistentRDDs diff, or round 1's
+    // near-|E| copy (and every later round's) stays pinned until driver GC
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def freeIds(ids: Iterable[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val nP = graph.numPartitions
     val edges = graph.edges.persist(StorageLevel.MEMORY_AND_DISK)
     // The in-block filter's input SHRINKS round over round: an edge dropped
@@ -148,7 +160,8 @@ object Scc {
     // survivors, not the full edge table — the join input follows the
     // recursion's remainder instead of rescanning |E| every round.
     var curEdges = edges
-    var prevInBlock: Option[DataFrame] = None
+    var prevInBlockIds: Set[Int] = Set.empty
+    var stateIds: Set[Int] = Set.empty
     // done = F(v) == B(v): the shared label m both reaches v and is reached
     // by v inside the block, so m ∈ SCC(v); and F ≤ min(SCC) always (the SCC
     // min reaches v), so m IS min(SCC(v)) — v's final label. Every member of
@@ -167,7 +180,7 @@ object Scc {
     while (changed > 0) {
       if (round >= maxOuter) {
         edges.unpersist(blocking = false)
-        prevInBlock.foreach(_.unpersist(blocking = false))
+        freeIds(prevInBlockIds); freeIds(stateIds)
         state.unpersist(blocking = false)
         throw new IllegalStateException(s"Scc: no fixpoint after $maxOuter rounds")
       }
@@ -177,11 +190,10 @@ object Scc {
       // eager localCheckpoint, not a lazy persist: rounds now CHAIN (this
       // round's survivors feed the next round's join), so lineage must be
       // cut per round or the logical plan grows with the round count
-      val inBlock = curEdges
+      val (inBlock, inBlockIds) = tracked(curEdges
         .join(srcB, "src").join(dstB, "dst")
         .filter(col("sbf") === col("dbf") && col("sbb") === col("dbb"))
-        .select("src", "dst", "weight")
-        .localCheckpoint(true)
+        .select("src", "dst", "weight"))
       val (next, toFree) =
         if (inBlock.isEmpty) {
           // no edges among live vertices: each is alone — F = B = own id
@@ -236,22 +248,26 @@ object Scc {
       if (sys.env.contains("SPARK_GRAFT_ITERLOG"))
         println(s"[scc] round=$round changed=$changed liveLeft=$liveLeft")
       val prev = state
-      state = nextP.select(col("id"), col("nbf").as("bf"), col("nbb").as("bb"),
-          (col("nbf") === col("nbb")).as("done"))
-        .localCheckpoint()
-      prev.unpersist(blocking = false)
+      val (stNew, stNewIds) = tracked(
+        nextP.select(col("id"), col("nbf").as("bf"), col("nbb").as("bb"),
+          (col("nbf") === col("nbb")).as("done")))
+      state = stNew
+      prev.unpersist(blocking = false) // round 0's plain persist; later rounds' RDDs freed below
+      freeIds(stateIds)
+      stateIds = stNewIds
       nextP.unpersist(blocking = false)
       // this round's in-block survivors BECOME the next round's join input;
-      // the previous survivor cache (fully consumed by this round's
-      // derivation and fixpoints) is released one round behind
-      prevInBlock.foreach(_.unpersist(blocking = false))
-      prevInBlock = Some(inBlock)
+      // the previous survivor checkpoint (fully consumed by this round's
+      // derivation and fixpoints) is released one round behind, at the RDD
+      // level (Dataset.unpersist cannot see localCheckpoint storage)
+      freeIds(prevInBlockIds)
+      prevInBlockIds = inBlockIds
       curEdges = inBlock
       toFree.foreach(_.apply())
       round += 1
     }
     edges.unpersist(blocking = false)
-    prevInBlock.foreach(_.unpersist(blocking = false))
+    freeIds(prevInBlockIds)
     state.select(col("id"), col("bf").as("scc"))
   }
 }

@@ -31,9 +31,16 @@ object EdgeOps {
   def shuffleBySrc(edges: DataFrame, numPartitions: Int): DataFrame =
     edges.repartition(numPartitions, col("src"))
 
-  /** `create_bidirectional_edges` (`edgelist_transformation.h:396-410`). */
+  /** `create_bidirectional_edges` (`edgelist_transformation.h:396-410`).
+    * One `explode` instead of a self-union: the union form evaluates the
+    * upstream edge pipeline once per branch (2x); exploding each row into
+    * its two directions yields the identical multiset from one pass
+    * (guide §2.4). */
   def bidirectional(edges: DataFrame): DataFrame =
-    edges.union(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    edges.select(explode(array(
+        struct(col("src"), col("dst"), col("weight")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("weight")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
 
   /** `convert_to_dag` (`edgelist_transformation.h:412-419`): canonicalize to
     * upper-triangular (src < dst), dropping self-loops and duplicates. */
@@ -71,12 +78,20 @@ object EdgeOps {
     * the id column; id itself is the tie-break) — md5 orders let external
     * engines replay the permutation exactly, xxhash64 is the fast default. */
   def permuteIdsBy(edges: DataFrame, ord: Column => Column): DataFrame = {
-    val ids = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // materialize once: the edge pipeline feeds the id collection AND both
+    // remap joins (3 evaluations as a lazy plan — the fixtures derive edges
+    // through window functions); the mapping is persisted + counted so the
+    // planner sees its REAL size and can broadcast the remap joins when it
+    // fits (DenseRank returns an RDD-backed frame whose default size
+    // estimate blocks auto-broadcast) — guide §2.4/§3.1
+    val e = edges.localCheckpoint()
+    val ids = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
     val mapping = DenseRank
       .denseOrdBy(ids, "shuf", ord(col("id")), col("id"))
       .select(col("id"), (col("shuf") + 1).as("newId"))
-    edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mapping.count()
+    e
       .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newId", "nsrc"), "src")
       .join(mapping.withColumnRenamed("id", "dst").withColumnRenamed("newId", "ndst"), "dst")
       .select(col("nsrc").as("src"), col("ndst").as("dst"), col("weight"))
@@ -85,10 +100,16 @@ object EdgeOps {
   /** `remove_empty_columns` (`edgelist.h:368-409`): compact dst ids to a dense
     * 1..k range; returns (remapped edges, mapping old→new). */
   def compactDstIds(edges: DataFrame): (DataFrame, DataFrame) = {
+    // materialize the input once (it feeds the id collection and the remap
+    // join) and give the mapping real stats so the remap can broadcast —
+    // same rationale as permuteIdsBy
+    val e = edges.localCheckpoint()
     val mapping = DenseRank
-      .denseOrdBy(edges.select(col("dst").as("old")).distinct(), "ord", col("old"))
+      .denseOrdBy(e.select(col("dst").as("old")).distinct(), "ord", col("old"))
       .select(col("old"), (col("ord") + 1).as("new"))
-    val remapped = edges.join(mapping, edges("dst") === mapping("old"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mapping.count()
+    val remapped = e.join(mapping, e("dst") === mapping("old"))
       .select(col("src"), col("new").as("dst"), col("weight"))
     (remapped, mapping)
   }

@@ -332,21 +332,25 @@ object GatherScatter {
     val idPart = new IdPartitioner(n)
     val sc = graph.edges.sparkSession.sparkContext
 
-    val numEdges = graph.numEdges
+    // The edge table is read THREE times below (edge count for the hot
+    // threshold, hub aggregate, routing). Persist the 2-column projection
+    // across the passes so (a) a non-deterministic or mutating upstream
+    // cannot make the hub set of pass 1 disagree with the edges routed in
+    // pass 2, and (b) an expensive upstream pipeline is paid once, not
+    // three times (the old form counted `graph.numEdges` off the RAW edge
+    // plan before this persist existed — one extra full evaluation of the
+    // fixtures' window derivation per build). Reads the graph's cached
+    // clustered view when the caller already materialized one (guide §2.4).
+    import org.apache.spark.sql.functions.{col => c9, count => cnt}
+    val srcEdges = graph.cachedEdges
+    val edgePairs = (if (weighted)
+        srcEdges.select(c9("src"), c9("dst"), c9("weight").cast("double"))
+      else srcEdges.select(c9("src"), c9("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numEdges = edgePairs.count()
     val hotThreshold =
       if (hotDegree > 0) hotDegree
       else math.max(4096L, numEdges / n / 4)
-
-    // The edge table is read TWICE below (hub aggregate, then routing).
-    // Persist the 2-column projection across the passes so (a) a
-    // non-deterministic or mutating upstream cannot make the hub set of pass
-    // 1 disagree with the edges routed in pass 2, and (b) an expensive
-    // upstream pipeline is paid once, not twice.
-    import org.apache.spark.sql.functions.{col => c9, count => cnt}
-    val edgePairs = (if (weighted)
-        graph.edges.select(c9("src"), c9("dst"), c9("weight").cast("double"))
-      else graph.edges.select(c9("src"), c9("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // degree-aware split: find srcs whose out-degree exceeds the threshold.
     // ONE Tungsten aggregate over the edge table (codegen'd partial+final

@@ -80,8 +80,12 @@ final case class VertexProgramSpec(
       * knob stays for narrow-state programs where the recompute is cheaper
       * than the job-launch + checkpoint serialization it saves.
       * Tracked/checkpointed runs pin this to 1 (the changed count is an
-      * action per superstep by definition). */
-    chainDepth: Int = 1)
+      * action per superstep by definition).
+      * Default 2 (r06): at the measured large scale k=2 equals k=1 (6.15 vs
+      * 6.18 s), while at fixture scale the per-superstep floor is Catalyst
+      * planning + job latency, so halving the action count halves the floor
+      * for every fixed-iteration program. */
+    chainDepth: Int = 2)
 
 object Reduce {
   /** Standard ⊕ as aggregate expressions over the gathered frame, grouped by receiver. */
@@ -165,9 +169,20 @@ object Superstep {
     // AQE re-plans and re-compiles codegen for every superstep's jobs, which
     // at graph scale costs more than it saves (measured ~2x per-superstep
     // wall); the loop's plans are static, so pin it off for the duration.
+    // With AQE off the loop's ⊕/join exchanges fall back to the session's
+    // spark.sql.shuffle.partitions — a constant (the core count in the
+    // bench) that at fixture scale costs hundreds of near-empty tasks per
+    // superstep. Pin it to the graph's own partition count for the loop:
+    // that is the engine's one size-adaptive knob (LinkGraph derives it from
+    // input bytes, capped at the session conf), so every per-superstep
+    // exchange matches the state/edge partitioning — same width at scale,
+    // far fewer tasks on small graphs, and the ⊕ output arrives already
+    // co-partitioned with the state for the apply join (guide §2.2, §2.4).
     val spark = init.sparkSession
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try {
 
     // `cached` is always the exact DataFrame persist() was called on (the
@@ -265,6 +280,8 @@ object Superstep {
 
       converged = changed == 0
       metrics += IterationMetrics(iter, changed, (System.nanoTime() - t0) / 1000000)
+      if (sys.env.contains("SPARK_GRAFT_ITERLOG"))
+        System.err.println(s"[superstep] n=$n iter=$iter changed=$changed ms=${metrics.last.millis}")
 
       cp match {
         case Some(c) if iter % c.every == 0 || converged =>
@@ -280,8 +297,9 @@ object Superstep {
     RunResult(state, iter - startIteration, converged, metrics.toSeq)
     } finally {
       // exception-safe: a failed superstep must not leave the whole session
-      // with AQE off (the toggle is loop-scoped, not session-scoped)
+      // with AQE off (the toggles are loop-scoped, not session-scoped)
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
     }
   }
 

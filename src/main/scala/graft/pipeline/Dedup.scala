@@ -114,9 +114,16 @@ object Dedup {
    * @return (id, cluster) — cluster = min doc id reachable via pairs
    */
   def clusters(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    // partition count: size-adaptive (LinkGraph derives it from the pair
+    // table's bytes, capped at the session conf) — the candidate-pair graph
+    // is orders of magnitude smaller than the corpus, so pinning it to the
+    // session's shuffle width just multiplied near-empty tasks per superstep
+    // ... sized from the DOC table's stats, not the pair plan's (post-join
+    // estimates inflate to the cap; the pair table is bounded by Σ bucket²
+    // over capped buckets, far below the corpus)
     val g = graft.core.LinkGraph(
       pairs.select(col("a").as("src"), col("b").as("dst")),
-      numPartitions = ids.sparkSession.sessionState.conf.numShufflePartitions)
+      numPartitions = graft.core.LinkGraph.adaptivePartitions(ids))
     val comp = graft.algos.ConnectedComponents.run(g).state
       .select(col("id"), col("component"))
     // note: CC runs over g.undirected, whose clustered edge views stay

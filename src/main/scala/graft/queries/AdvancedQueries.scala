@@ -31,7 +31,10 @@ object AdvancedQueries {
     val r = ev.join(items, "event_type")
       .groupBy(col("user_id").as("src"), col("item").as("dst"))
       .agg(count("*").cast("double").as("weight"))
-    LinkGraph(r)
+    // partition count from the SOURCE table's size: post-join/aggregate size
+    // estimates are unusable (they inflate to the cap), but the rating table
+    // is bounded by the events table it aggregates
+    LinkGraph(r, LinkGraph.adaptivePartitions(ev))
   }
 
   /** Bipartite doc→term graph over the documents table, weight = term count.
@@ -50,7 +53,9 @@ object AdvancedQueries {
     val edges = counts.join(words, "w")
       .select(col("doc_id").as("src"), col("wid").as("dst"), col("weight"))
       .cache()
-    val g = LinkGraph(edges)
+    // partition count from the documents table's size (same rationale as
+    // ratingGraph: post-join estimates inflate to the cap)
+    val g = LinkGraph(edges, LinkGraph.adaptivePartitions(docs))
     (g, Lda.typesByThreshold(g, 999999L))
   }
 
@@ -142,8 +147,8 @@ object AdvancedQueries {
     // only divergence (~1e-12), absorbed by the 4-decimal rounding.
     "g_sgd_csr" -> ((s, dir) => {
       val g = ratingGraph(s, dir)
-      val bidir = g.edges.union(
-        g.edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      // explode-based doubling: one evaluation of the rating aggregation
+      val bidir = graft.core.EdgeOps.bidirectional(g.edges)
       val pg = graft.engine.GatherScatter.build(LinkGraph(bidir), 8, weighted = true)
       val blocks = graft.engine.VectorSuperstep.sgd(pg, k = Sgd.K, iterations = 2,
         lambda = 0.05, stepSize = 0.001, init = Sgd.md5InitScalar)
@@ -166,8 +171,7 @@ object AdvancedQueries {
     // the 4-decimal rounding (engine/VectorSuperstep.scala).
     "g_lda_csr" -> ((s, dir) => {
       val (g, _) = docTermGraph(s, dir)
-      val bidir = g.edges.union(
-        g.edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      val bidir = graft.core.EdgeOps.bidirectional(g.edges)
       val pg = graft.engine.GatherScatter.build(LinkGraph(bidir), 8, weighted = true)
       val blocks = graft.engine.VectorSuperstep.lda(pg, k = Lda.K, iterations = 2,
         termMinId = 1000000L, gammaInit = Sgd.md5InitScalar)

@@ -28,18 +28,26 @@ object EventGraph {
   private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
   private val byUserType = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
 
-  /** chain ∪ skip ∪ type, deduplicated — the rich graph for PageRank/degree/LP/triangles. */
-  def richEdges(ev: DataFrame): DataFrame = {
-    val base = ev.select(
-      col("event_id"),
-      lead("event_id", 1).over(byUser).as("nxt1"),
-      lead("event_id", 2).over(byUser).as("nxt2"),
-      lead("event_id", 1).over(byUserType).as("nxtT"))
-    val chain = base.filter(col("nxt1").isNotNull).select(col("event_id").as("src"), col("nxt1").as("dst"))
-    val skip  = base.filter(col("nxt2").isNotNull).select(col("event_id").as("src"), col("nxt2").as("dst"))
-    val typed = base.filter(col("nxtT").isNotNull).select(col("event_id").as("src"), col("nxtT").as("dst"))
-    chain.union(skip).union(typed).distinct().withColumn("weight", lit(1.0))
-  }
+  /** chain ∪ skip ∪ type, deduplicated — the rich graph for PageRank/degree/LP/triangles.
+    *
+    * Single-pass shape (r06, guide §2.4): the old form union'd three
+    * filter/project branches of the same windowed base, and Catalyst executes
+    * each union branch separately — ReuseExchange dedups the window's shuffle
+    * write, but the sort + two window operators re-ran once per branch (3x).
+    * One `explode` over the three lead columns yields the identical row
+    * multiset (nulls dropped) from ONE evaluation of the windows, and the
+    * `distinct` then sees the same set. Plan: 3 window/sort evaluations +
+    * union → 1; same Exchange count at the distinct. */
+  def richEdges(ev: DataFrame): DataFrame =
+    ev.select(
+        col("event_id"),
+        lead("event_id", 1).over(byUser).as("nxt1"),
+        lead("event_id", 2).over(byUser).as("nxt2"),
+        lead("event_id", 1).over(byUserType).as("nxtT"))
+      .select(col("event_id").as("src"),
+        explode(array(col("nxt1"), col("nxt2"), col("nxtT"))).as("dst"))
+      .filter(col("dst").isNotNull)
+      .distinct().withColumn("weight", lit(1.0))
 
   /** Chain edges confined to 10-row buckets; weight = 1 + |value(dst)|. */
   def bucketEdges(ev: DataFrame): DataFrame =
@@ -108,6 +116,13 @@ object EventGraph {
    * algorithm-independent, no unrolling.
    */
   def cyclicBucketEdges(ev: DataFrame): DataFrame = {
+    // Two-pass shape (r06, guide §2.4): the old form union'd FIVE branches
+    // over the windowed base (chain/chord2/chord4 plus wrap/cross over a
+    // second 3-window `marked` frame), re-evaluating the window pipeline per
+    // branch. Now: one explode emits the three chord families from a single
+    // base evaluation, and wrap+cross come from ONE per-bucket aggregate
+    // (min_by/max_by over rn ≡ the old first/last-over-window) with one lead
+    // window for the cross edges — identical row sets, branch by branch.
     val base = ev.select(
         col("event_id"), col("user_id"),
         row_number().over(byUser).as("rn"),
@@ -115,37 +130,37 @@ object EventGraph {
         lead("event_id", 2).over(byUser).as("nxt2"),
         lead("event_id", 4).over(byUser).as("nxt4"))
       .withColumn("bkt", floor((col("rn") - 1) / 10).cast("long"))
-    val chain = base.filter(col("nxt1").isNotNull && col("rn") % 10 =!= 0)
-      .select(col("event_id").as("src"), col("nxt1").as("dst"))
-    val chord2 = base.filter(col("nxt2").isNotNull && (col("rn") - 1) % 10 <= 7)
-      .select(col("event_id").as("src"), col("nxt2").as("dst"))
-    val chord4 = base.filter(col("nxt4").isNotNull && (col("rn") - 1) % 10 <= 5)
-      .select(col("event_id").as("src"), col("nxt4").as("dst"))
-    val wB = Window.partitionBy("user_id", "bkt").orderBy("rn")
-    val wBfull = wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val marked = base.select(
-      col("event_id"), col("user_id"), col("bkt"),
-      first("event_id").over(wB).as("first_id"),
-      last("event_id").over(wBfull).as("last_id"),
-      count(lit(1)).over(wBfull).as("bsz"))
-    val wrap = marked
-      .filter(col("event_id") === col("last_id") && col("bsz") >= 2)
-      .select(col("last_id").as("src"), col("first_id").as("dst"))
+    val chords = base.select(col("event_id").as("src"),
+        explode(array(
+          when(col("nxt1").isNotNull && col("rn") % 10 =!= 0, col("nxt1")),
+          when(col("nxt2").isNotNull && (col("rn") - 1) % 10 <= 7, col("nxt2")),
+          when(col("nxt4").isNotNull && (col("rn") - 1) % 10 <= 5, col("nxt4")))).as("dst"))
+      .filter(col("dst").isNotNull)
+    // per-bucket summary: first/last event in rn order + bucket size
+    val bsum = base.groupBy(col("user_id"), col("bkt")).agg(
+      min_by(col("event_id"), col("rn")).as("first_id"),
+      max_by(col("event_id"), col("rn")).as("last_id"),
+      count(lit(1)).as("bsz"))
     val wU = Window.partitionBy("user_id").orderBy("bkt")
-    val cross = marked.filter(col("event_id") === col("first_id"))
-      .select(col("event_id").as("src"), col("bkt"),
-              lead("event_id", 1).over(wU).as("dst"),
-              lead("bsz", 1).over(wU).as("nbsz"))
-      .filter(col("dst").isNotNull &&
-              // group boundary: cut every 8th cross edge — EXCEPT into a
-              // trailing singleton bucket (wrap needs ≥2, so cutting would
-              // isolate that vertex; keeping it adds ≤1 hop to the group)
-              (col("bkt") % 8 =!= 7 || col("nbsz") === 1))
-      .select("src", "dst")
+    val wrapCross = bsum.select(
+        col("first_id"), col("last_id"), col("bsz"), col("bkt"),
+        lead("first_id", 1).over(wU).as("nfid"),
+        lead("bsz", 1).over(wU).as("nbsz"))
+      .select(explode(array(
+        // wrap edge last→first (cycles need ≥2 vertices)
+        when(col("bsz") >= 2,
+          struct(col("last_id").as("src"), col("first_id").as("dst"))),
+        // cross edge first→next bucket's first; group boundary: cut every
+        // 8th cross edge — EXCEPT into a trailing singleton bucket (wrap
+        // needs ≥2, so cutting would isolate that vertex; keeping it adds
+        // ≤1 hop to the group)
+        when(col("nfid").isNotNull && (col("bkt") % 8 =!= 7 || col("nbsz") === 1),
+          struct(col("first_id").as("src"), col("nfid").as("dst"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // the four sets are pairwise disjoint by construction (distinct rn gaps;
     // wrap runs backward; cross spans a 10-row boundary chain never crosses)
-    chain.union(chord2).union(chord4).union(wrap).union(cross)
-      .withColumn("weight", lit(1.0))
+    chords.union(wrapCross).withColumn("weight", lit(1.0))
   }
 
   def richGraph(spark: SparkSession, dir: String): LinkGraph =

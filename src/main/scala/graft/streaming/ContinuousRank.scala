@@ -1,7 +1,6 @@
 package graft.streaming
 
-import scala.collection.mutable.ArrayBuffer
-
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -27,11 +26,38 @@ import graft.core.LinkGraph
  */
 object ContinuousRank {
 
-  /** foreachBatch-side state holder. Thread-safe; one instance per query. */
+  /** foreachBatch-side state holder. Thread-safe; one instance per query.
+    *
+    * State is BOUNDED (r06): each micro-batch folds into ONE materialized
+    * accumulated-edge table and ONE rank snapshot; everything the previous
+    * batch pinned — the old accumulated copy, the old snapshot, the refresh
+    * run's intermediate checkpoints and the batch graph's clustered views —
+    * is freed before `update` returns, so the logical plan size and the
+    * pinned-block count stay CONSTANT in the batch count. (The former
+    * ArrayBuffer-of-checkpoints union grew linearly and pinned every
+    * historical batch for the query's life.) localCheckpoint storage is
+    * RDD-level — invisible to `Dataset.unpersist` — so frees go through a
+    * before/after diff of `getPersistentRDDs` (the Betweenness pattern).
+    * The graph's partition count follows the accumulated edge count
+    * (LinkGraph.partitionsForRows): early small batches don't pay a
+    * full-width shuffle per superstep, and growth re-widens it. */
   final class RankMaintainer(numPartitions: Int = 0, alpha: Double = 0.3) {
-    private val batches = ArrayBuffer.empty[DataFrame]
+    private var acc: Option[DataFrame] = None
+    private var accRdds: Set[Int] = Set.empty
+    private var accRows = 0L
     private var ranks: Option[DataFrame] = None
-    private var prevGraph: Option[LinkGraph] = None
+    private var rankRdds: Set[Int] = Set.empty
+
+    /** Eager localCheckpoint + the RDD ids it pinned (for RDD-level free). */
+    private def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+
+    private def free(sc: SparkContext, ids: Iterable[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
     /** Fold one micro-batch of `(src, dst[, weight])` edges in and return the
       * refreshed `(id, pagerank)`. A micro-batch DataFrame is only valid
@@ -42,20 +68,37 @@ object ContinuousRank {
         if (batchEdges.columns.contains("weight"))
           batchEdges.select(col("src"), col("dst"), col("weight"))
         else batchEdges.select(col("src"), col("dst"))
-      val mat = cols.localCheckpoint(true)
-      if (mat.isEmpty) return current
-      batches += mat
-      val g = LinkGraph(batches.reduce(_ unionByName _), numPartitions)
+      val sc = cols.sparkSession.sparkContext
+      val (mat, matIds) = tracked(cols)
+      val matRows = mat.count()
+      if (matRows == 0L) { free(sc, matIds); return current }
+      accRows += matRows
+      val (merged, mergedIds) = acc match {
+        case Some(prev) =>
+          val (u, ids) = tracked(prev.unionByName(mat))
+          // both inputs are folded into the fresh checkpoint — free them
+          free(sc, accRdds); free(sc, matIds)
+          (u, ids)
+        case None => (mat, matIds)
+      }
+      acc = Some(merged); accRdds = mergedIds
+      val parts =
+        if (numPartitions > 0) numPartitions
+        else LinkGraph.partitionsForRows(mat.sparkSession, accRows)
+      val g = LinkGraph(merged, parts)
+      val beforeRun = sc.getPersistentRDDs.keySet
       val res = ranks match {
         case Some(prev) => DeltaPageRank.warmStart(g, prev, alpha)
         case None       => DeltaPageRank.run(g, alpha)
       }
-      val next = res.state.select(col("id"), col("pagerank")).localCheckpoint(true)
-      // the new ranks are materialized, so the previous graph's clustered
-      // edge caches can go — without this every batch would pin another copy
-      prevGraph.foreach(_.unpersistAll())
-      prevGraph = Some(g)
-      ranks = Some(next)
+      val (next, nextIds) = tracked(res.state.select(col("id"), col("pagerank")))
+      // this batch's graph views (Dataset-level caches) and the refresh
+      // run's remaining checkpoints (RDD-level) are fully consumed by `next`
+      g.unpersistAll()
+      free(sc, sc.getPersistentRDDs.keySet -- beforeRun -- nextIds)
+      // the previous batch's rank snapshot has no remaining reader
+      free(sc, rankRdds)
+      ranks = Some(next); rankRdds = nextIds
       next
     }
 
@@ -66,9 +109,12 @@ object ContinuousRank {
           .select(col("id"), lit(0.0).as("pagerank")))
     }
 
-    /** Release every cache/checkpoint the maintainer still holds. */
+    /** Release every cache/checkpoint the maintainer still holds. Callers
+      * must materialize anything they need from `current` first. */
     def close(): Unit = synchronized {
-      prevGraph.foreach(_.unpersistAll()); prevGraph = None
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      free(sc, accRdds); acc = None; accRdds = Set.empty; accRows = 0L
+      free(sc, rankRdds); ranks = None; rankRdds = Set.empty
     }
   }
 
