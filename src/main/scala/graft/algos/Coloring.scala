@@ -28,9 +28,11 @@ import graft.engine.{Activity, CheckpointConfig, Direction, Reduce, RunResult,
  */
 object Coloring {
 
-  private def pri = conv(
-    substring(md5(concat(col("id").cast("string"), lit(":p"))), 1, 8),
+  private def priOf(id: org.apache.spark.sql.Column) = conv(
+    substring(md5(concat(id.cast("string"), lit(":p"))), 1, 8),
     16, 10).cast("long")
+
+  private def pri = priOf(col("id"))
 
   def run(graph: LinkGraph, cp: Option[CheckpointConfig] = None): RunResult = {
     val und = graph.undirected
@@ -39,12 +41,16 @@ object Coloring {
     val spec = VertexProgramSpec(
       direction = Direction.Out,
       activity = Activity.AllVertices,
-      needsRecvState = true,
       send = fr => fr.select(
         col("id"), struct(col("pri"), col("id")).as("spr"), col("color").as("mcolor")),
-      // ⊗ sees the receiver's state: drop messages from lower-priority
-      // senders — the JP "wait for higher neighbors" gate
-      gather = df => df.filter(col("spr") > struct(col("v_pri"), col("_recv"))),
+      // ⊗ compares against the receiver's priority — the JP "wait for higher
+      // neighbors" gate. The priority is a pure md5 function of the vertex
+      // id, so it is recomputed inline from `_recv` instead of joining the
+      // receiver's state row in (r06): this drops the needsRecvState state
+      // join from every superstep — one less join + exchange per round —
+      // while evaluating the exact same predicate (GraphMat's SpMSpV3
+      // semantics are preserved; the operand is just derivable here).
+      gather = df => df.filter(col("spr") > struct(priOf(col("_recv")), col("_recv"))),
       reduce = Reduce.byAggs(
         max(col("mcolor") === -1).as("anyunc"),
         collect_set(when(col("mcolor") =!= -1, col("mcolor"))).as("used")),

@@ -89,6 +89,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(id) - w) < 1e-5, s"vertex $id: got ${got(id)}, want $w")
   }
 
+  test("rank maintainer state is BOUNDED: plan size and pinned blocks constant across 20 batches") {
+    implicit val sq = s.sqlContext
+    // an unbounded stream must not accumulate per-batch state: the
+    // maintainer folds each micro-batch into ONE accumulated edge table and
+    // ONE rank snapshot, freeing everything the previous batch pinned
+    val edges = (1L to 200L).map(i => graft.core.Edge(i, i + 1, 1.0))
+    val pinnedBefore = s.sparkContext.getPersistentRDDs.size
+    val input = MemoryStream[graft.core.Edge]
+    val m = new graft.streaming.ContinuousRank.RankMaintainer(numPartitions = 2)
+    val q = graft.streaming.ContinuousRank.attach(input.toDS().toDF(), m).start()
+    var planSizes = Vector.empty[Int]
+    var pinned = Vector.empty[Int]
+    edges.grouped(10).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+      planSizes :+= m.current.queryExecution.logical.collect { case p => p }.size
+      pinned :+= s.sparkContext.getPersistentRDDs.size
+    }
+    q.stop()
+    m.close()
+    assert(planSizes.size === 20)
+    // constant plan size: the ranks are always one materialized snapshot
+    assert(planSizes.distinct.size === 1,
+      s"logical plan size grew across batches: $planSizes")
+    // pinned-block count bounded: the last 15 batches may not pin more than
+    // the 5th did (startup allocates the steady-state set)
+    val steady = pinned(4)
+    assert(pinned.drop(5).forall(_ <= steady),
+      s"persistent RDD count grew across batches: $pinned (steady=$steady)")
+    assert(s.sparkContext.getPersistentRDDs.size <= pinnedBefore,
+      "close() must release every cache the maintainer added")
+  }
+
   test("streaming exact dedup: final state is batch-boundary invariant (3 batches vs 1)") {
     implicit val sq = s.sqlContext
     case class Doc(doc_id: Long, text: String)
