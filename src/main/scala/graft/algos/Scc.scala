@@ -171,7 +171,12 @@ object Scc {
     // "remove the identified component and recurse on the remainder": the
     // subgraph SHRINKS monotonically and the last round degenerates to one
     // cheap emptiness check instead of two full fixpoints.
-    var state = graph.vertices
+    // vertex set from the locally persisted edge table (one explode pass)
+    // rather than graph.vertices: the latter would materialize the graph's
+    // whole clustered-view cache just to enumerate ids — runFast routes
+    // nothing through that view (its fixpoints run on per-round CSR builds)
+    var state = edges
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
       .select(col("id"), lit(0L).as("bf"), lit(0L).as("bb"),
         lit(false).as("done"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -189,11 +194,18 @@ object Scc {
       val dstB = live.select(col("id").as("dst"), col("bf").as("dbf"), col("bb").as("dbb"))
       // eager localCheckpoint, not a lazy persist: rounds now CHAIN (this
       // round's survivors feed the next round's join), so lineage must be
-      // cut per round or the logical plan grows with the round count
-      val (inBlock, inBlockIds) = tracked(curEdges
-        .join(srcB, "src").join(dstB, "dst")
-        .filter(col("sbf") === col("dbf") && col("sbb") === col("dbb"))
-        .select("src", "dst", "weight"))
+      // cut per round or the logical plan grows with the round count.
+      // Round 0 is an identity passthrough — every vertex carries the same
+      // (0,0) block and nothing is done, so the in-block filter keeps every
+      // edge — skip the two joins AND the ~|E| checkpoint and feed the
+      // already-persisted edge table to the first fixpoints directly (r06;
+      // at the 16M-edge rehearsal this join+checkpoint was ~1/3 of the leg)
+      val (inBlock, inBlockIds) =
+        if (round == 0) (edges.select("src", "dst", "weight"), Set.empty[Int])
+        else tracked(curEdges
+          .join(srcB, "src").join(dstB, "dst")
+          .filter(col("sbf") === col("dbf") && col("sbb") === col("dbb"))
+          .select("src", "dst", "weight"))
       val (next, toFree) =
         if (inBlock.isEmpty) {
           // no edges among live vertices: each is alone — F = B = own id

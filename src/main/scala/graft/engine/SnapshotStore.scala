@@ -62,10 +62,27 @@ object HadoopSnapshotStore extends SnapshotStore {
   }
 
   override def writeText(sc: SparkContext, path: String, text: String): Unit = {
+    // write-to-temp + rename: an in-place truncate would corrupt the commit
+    // pointer if the process dies mid-overwrite, breaking the written-LAST
+    // resume discipline the trait contract promises (rename is atomic on
+    // local and HDFS; object stores substitute their own atomic PUT)
     val (hp, fs) = fsOf(sc, path)
-    val out = fs.create(hp, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hp.getParent, s".${hp.getName}.tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      // FileContext rename with OVERWRITE is atomic on local/HDFS even when
+      // the destination exists (plain FileSystem.rename is not)
+      org.apache.hadoop.fs.FileContext.getFileContext(hp.toUri, sc.hadoopConfiguration)
+        .rename(tmp, hp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        if (fs.exists(hp)) fs.delete(hp, false)
+        if (!fs.rename(tmp, hp))
+          throw new java.io.IOException(s"rename $tmp -> $hp failed")
+    }
   }
 
   override def readText(sc: SparkContext, path: String): Option[String] = {
