@@ -305,8 +305,8 @@ object TriangleCount {
     // join sides) and the oriented set feeds three consumers (both wedge
     // sides + the closing semi-join); materialize each once instead of
     // re-running the upstream edge derivation per branch (guide §2.4)
-    val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst").localCheckpoint()
-    val o = orientByDegree(e).localCheckpoint()
+    val e = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst").localCheckpoint(false)
+    val o = orientByDegree(e).localCheckpoint(false)
     val o1 = o.select(col("lo").as("w"), col("hi").as("u"), col("dh").as("du"))
     val o2 = o.select(col("lo").as("w2"), col("hi").as("v"), col("dh").as("dv"))
     val wedges = o1.join(o2, col("w") === col("w2") &&
@@ -346,7 +346,7 @@ object TriangleCount {
    * bound after degree orientation).
    */
   def localClustering(graph: LinkGraph): DataFrame = {
-    val dag = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst").localCheckpoint()
+    val dag = graft.core.EdgeOps.toDag(graph.edges).select("src", "dst").localCheckpoint(false)
     val deg = dag.select(col("src").as("id")).union(dag.select(col("dst").as("id")))
       .groupBy("id").agg(count("*").as("d"))
     participation(graph).join(deg, Seq("id"), "left_outer")

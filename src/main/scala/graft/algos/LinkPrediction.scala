@@ -43,13 +43,13 @@ object LinkPrediction {
     // and `centered` both wedge sides — materialize each once instead of
     // re-running the upstream edge derivation per branch (guide §2.4); the
     // directed doubling is one explode, not a self-union
-    val canon = canonical(graph).localCheckpoint()
+    val canon = canonical(graph).localCheckpoint(false)
     val und = canon.select(explode(array(
         struct(col("a").as("w"), col("b").as("n")),
         struct(col("b").as("w"), col("a").as("n")))).as("e"))
       .select(col("e.w").as("w"), col("e.n").as("n"))
     val deg = und.groupBy("w").agg(count(lit(1)).as("d"))
-    val centered = und.join(deg.filter(col("d") <= maxDegree), "w").localCheckpoint()
+    val centered = und.join(deg.filter(col("d") <= maxDegree), "w").localCheckpoint(false)
     val wedges = centered.select(col("w"), col("n").as("u"), col("d"))
       .join(centered.select(col("w"), col("n").as("v")), "w")
       .filter(col("u") < col("v"))

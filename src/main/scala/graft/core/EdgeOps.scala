@@ -84,7 +84,7 @@ object EdgeOps {
     // planner sees its REAL size and can broadcast the remap joins when it
     // fits (DenseRank returns an RDD-backed frame whose default size
     // estimate blocks auto-broadcast) — guide §2.4/§3.1
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false) // lazy: materialized by the mapping build
     val ids = e.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
     val mapping = DenseRank
       .denseOrdBy(ids, "shuf", ord(col("id")), col("id"))
@@ -103,7 +103,7 @@ object EdgeOps {
     // materialize the input once (it feeds the id collection and the remap
     // join) and give the mapping real stats so the remap can broadcast —
     // same rationale as permuteIdsBy
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(false) // lazy: materialized by the mapping build
     val mapping = DenseRank
       .denseOrdBy(e.select(col("dst").as("old")).distinct(), "ord", col("old"))
       .select(col("old"), (col("ord") + 1).as("new"))
