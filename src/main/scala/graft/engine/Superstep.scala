@@ -81,11 +81,15 @@ final case class VertexProgramSpec(
       * than the job-launch + checkpoint serialization it saves.
       * Tracked/checkpointed runs pin this to 1 (the changed count is an
       * action per superstep by definition).
-      * Default 2 (r06): at the measured large scale k=2 equals k=1 (6.15 vs
-      * 6.18 s), while at fixture scale the per-superstep floor is Catalyst
-      * planning + job latency, so halving the action count halves the floor
-      * for every fixed-iteration program. */
-    chainDepth: Int = 2)
+      * Default 0 = AUTO (r06): chain 2 when the graph's partition count sits
+      * BELOW the session's shuffle width (a small graph, where the
+      * per-superstep floor is Catalyst planning + job latency and halving
+      * the action count halves the floor), 1 once the size-adaptive
+      * partitioning hits the cap (a large graph, where the recompute above
+      * the reused exchange is real data — measured at 7.8M edges k=2 swings
+      * between ~equal and 40% SLOWER with the host window, so big graphs
+      * keep one job per superstep). Explicit values are honored as given. */
+    chainDepth: Int = 0)
 
 object Reduce {
   /** Standard ⊕ as aggregate expressions over the gathered frame, grouped by receiver. */
@@ -206,10 +210,15 @@ object Superstep {
     // Effective chain length: only fixed-iteration, non-checkpointed runs can
     // defer materialization; 3-op programs put state in the plan 3x per
     // superstep (frontier + recv-state + apply join), so cap their growth.
+    // chainDepth 0 = AUTO (see the field doc): chain small graphs only.
+    val requested =
+      if (spec.chainDepth > 0) spec.chainDepth
+      else if (n < scala.util.Try(shufBefore.toInt).getOrElse(200)) 2
+      else 1
     val chain =
       if (spec.trackChanges || cp.isDefined) 1
-      else if (spec.needsRecvState) math.min(spec.chainDepth, 2)
-      else math.max(1, spec.chainDepth)
+      else if (spec.needsRecvState) math.min(requested, 2)
+      else math.max(1, requested)
     var sinceMat = 0
 
     while (!converged && (spec.maxIterations < 0 || iter - startIteration < spec.maxIterations)) {
